@@ -1,0 +1,116 @@
+"""Distribution-drift checks per partition vs a baseline snapshot.
+
+North-star checks (SURVEY.md §2.4 A5; nearest reference analog is the
+human-reviewed profiling snapshot, /root/reference/src/profiling.py:57-83):
+
+* categorical drift — KL divergence of per-partition role/tool frequency
+  vs ``baseline_stats`` freq:  KL = Σ_v p_v · ln(p_v / q_v)
+* temporal drift — chi-square of the per-partition hour-of-ts histogram
+  vs baseline expected counts:  χ² = Σ_b (obs_b − exp_b)² / exp_b
+
+Both are pure column math over a groupBy(part, value) count — one
+shuffle keyed by (part, value), then a broadcast join against the tiny
+baseline dim, then a groupBy(part) reduction. No UDFs.
+
+Smoothing: categories absent from the baseline get q = epsilon so a
+brand-new category produces a large-but-finite KL contribution instead
+of infinity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPSILON = 1e-6
+
+
+def categorical_freqs(turns: DataFrame, dim: str, value_col) -> DataFrame:
+    """Per-(part, value) relative frequency for one categorical dimension."""
+    counts = (
+        turns.where(value_col.isNotNull())
+        .groupBy(F.col("part").cast("string").alias("part"), value_col.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("part").agg(F.sum("n").alias("total"))
+    return (
+        counts.join(totals, "part")
+        .select("part", F.lit(dim).alias("dim"), "value", (F.col("n") / F.col("total")).alias("p"), "n", "total")
+    )
+
+
+def kl_divergence(
+    turns: DataFrame, baseline: DataFrame, dim: str, value_col=None
+) -> DataFrame:
+    """(part, dim, kl) — KL(p_partition ‖ q_baseline)."""
+    value_col = value_col if value_col is not None else F.col(dim)
+    p = categorical_freqs(turns, dim, value_col)
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    joined = p.join(F.broadcast(q), "value", "left").withColumn(
+        "q", F.coalesce(F.col("q"), F.lit(EPSILON))
+    )
+    return (
+        joined.groupBy("part")
+        .agg(
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl"),
+            F.first("total").alias("n_obs"),
+        )
+        .select("part", F.lit(dim).alias("dim"), "kl", "n_obs")
+    )
+
+
+def ts_chi_square(turns: DataFrame, baseline: DataFrame, dim: str = "ts_hour_bucket") -> DataFrame:
+    """(part, dim, chi2) — hour-of-day histogram vs baseline expectation."""
+    obs = categorical_freqs(turns, dim, F.hour("ts").cast("string"))
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    joined = obs.join(F.broadcast(q), "value", "left").withColumn(
+        "q", F.coalesce(F.col("q"), F.lit(EPSILON))
+    )
+    expected = F.col("q") * F.col("total")
+    return (
+        joined.groupBy("part")
+        .agg(F.sum(F.pow(F.col("n") - expected, F.lit(2)) / expected).alias("chi2"))
+        .select("part", F.lit(dim).alias("dim"), "chi2")
+    )
+
+
+def drift_violations(
+    turns: DataFrame,
+    baseline: DataFrame,
+    kl_threshold: float = 0.05,
+    kl_chi2_crit: float = 40.0,
+    chi2_threshold: float = 100.0,  # χ²(23) crit at p≈1e-11 — hour histograms
+) -> DataFrame:
+    """Partition-level violations in the canonical violations schema.
+
+    The KL trigger is scale-aware: under H0 (no drift), 2·n·KL is
+    asymptotically χ²(k−1), so a partition drifts only when BOTH the
+    effect size (kl > kl_threshold) and the evidence (2·n·kl >
+    kl_chi2_crit) are large — small partitions don't false-positive on
+    sampling noise, huge partitions don't alert on negligible shifts.
+    """
+    kls = kl_divergence(turns, baseline, "role").unionByName(
+        kl_divergence(turns, baseline, "tool")
+    )
+    kl_v = kls.where(
+        (F.col("kl") > kl_threshold) & (2.0 * F.col("n_obs") * F.col("kl") > kl_chi2_crit)
+    ).select(
+        F.concat(F.lit("drift.kl."), F.col("dim")).alias("rule_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.col("dim").alias("column"),
+        F.round("kl", 6).cast("string").alias("offending_value"),
+        F.lit("error").alias("severity"),
+        "part",
+    )
+    chi = ts_chi_square(turns, baseline)
+    chi_v = chi.where(F.col("chi2") > chi2_threshold).select(
+        F.lit("drift.chi2.ts").alias("rule_id"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit("ts").alias("column"),
+        F.round("chi2", 3).cast("string").alias("offending_value"),
+        F.lit("error").alias("severity"),
+        "part",
+    )
+    return kl_v.unionByName(chi_v)

@@ -1,0 +1,75 @@
+"""Referential-integrity checks as broadcast anti-joins.
+
+Reference semantics: every vocabulary/FK lookup in the reference is a
+dict/set membership probe (vocabularies.py:45-91; media→item FK
+traversal validate.py:776-791) — i.e. a broadcast hash join in
+disguise. Here:
+
+* orphan check:  fact LEFT ANTI JOIN broadcast(dim) ⇒ violation rows.
+* zero-children: dim LEFT ANTI JOIN fact ⇒ warning rows (reference
+  "item has no media" warning, validate.py:780-787). The fact side of
+  this anti-join is reduced to distinct keys FIRST (a cheap partial-agg
+  shuffle) so the join probe side is small.
+
+Dimensions (conversation manifest, allowed tools) are small relative to
+the fact at any scale — broadcast is forced with F.broadcast so Catalyst
+never falls back to a sort-merge shuffle of the 10^12-row fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.rules import SEV_ERROR, SEV_WARNING
+
+
+def orphan_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    rule_id: str,
+    severity: str = SEV_ERROR,
+    turn_col: str | None = "turn_idx",
+    part_col: str | None = "part",
+    filter_null: bool = True,
+) -> DataFrame:
+    """Rows of ``fact`` whose key has no match in ``dim``."""
+    keys = F.broadcast(dim.select(F.col(dim_key).alias("__k")).distinct())
+    probe = fact.where(F.col(fact_key).isNotNull()) if filter_null else fact
+    missing = probe.join(keys, on=probe[fact_key] == keys["__k"], how="left_anti")
+    part = (F.col(part_col) if part_col else F.lit(None)).cast("string")
+    turn = F.col(turn_col).cast("int") if turn_col else F.lit(None).cast("int")
+    conv = F.col("conv_id").cast("string") if "conv_id" in fact.columns else F.col(fact_key).cast("string")
+    return missing.select(
+        F.lit(rule_id).alias("rule_id"),
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.lit(fact_key).alias("column"),
+        F.col(fact_key).cast("string").alias("offending_value"),
+        F.lit(severity).alias("severity"),
+        part.alias("part"),
+    )
+
+
+def zero_children_violations(
+    dim: DataFrame,
+    fact: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    rule_id: str = "empty.conversation",
+    severity: str = SEV_WARNING,
+) -> DataFrame:
+    """Dimension members with no fact rows (no-children warning)."""
+    fact_keys = fact.select(F.col(fact_key).alias("__k")).distinct()
+    childless = dim.join(fact_keys, on=dim[dim_key] == fact_keys["__k"], how="left_anti")
+    return childless.select(
+        F.lit(rule_id).alias("rule_id"),
+        F.col(dim_key).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(dim_key).alias("column"),
+        F.col(dim_key).cast("string").alias("offending_value"),
+        F.lit(severity).alias("severity"),
+        F.lit(None).cast("string").alias("part"),
+    )

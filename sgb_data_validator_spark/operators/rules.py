@@ -1,0 +1,209 @@
+"""Row-level rules: the single-pass multi-rule projection.
+
+Reference semantics being re-expressed (one rule per reference check):
+
+* required / non-null          — models.py:49-197, validate.py:430-437
+* non-empty (whitespace-only)  — value_not_empty models.py:22-28
+* regex conformance (URL etc.) — models.py:191-197
+* vocabulary membership        — vocabularies.py:45-91, validate.py:309-413
+* URL-in-literal warning       — validate.py:467-506 (value truncated to 80)
+* placeholder contains         — transformations.py:807-825
+
+Scale design: N rules cost ONE scan. Every rule contributes one
+``when(predicate, struct(...))`` slot to an array column; the array is
+compacted and exploded, so only violating rows ever materialize
+downstream. All predicates are native column expressions →
+whole-stage-codegen, pushdown-friendly, zero Python in the hot path.
+
+Short-circuit semantics preserved from the reference (validate.py:701-716:
+a record that fails parsing is excluded from content checks): rules with
+``gated=True`` are additionally guarded by the conjunction of all
+parse-level rules passing for that row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEV_ERROR = "error"
+SEV_WARNING = "warning"
+
+#: canonical violations schema (order matters for unionByName-free unions)
+VIOLATION_COLS = ["rule_id", "conv_id", "turn_idx", "column", "offending_value", "severity", "part"]
+
+# reference truncates offending values to 80 chars in messages
+# (validate.py:496-498); we keep the same cap on offending_value.
+VALUE_TRUNC = 80
+
+URL_IN_TEXT_PATTERN = r"(?i)(?:https?://|ftp://|www\.)[^\s]+"
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """One row-level check. ``predicate`` is TRUE when the row VIOLATES."""
+
+    rule_id: str
+    column: str
+    severity: str
+    predicate: Callable[[DataFrame], Column]
+    value: Callable[[DataFrame], Column] | None = None  # offending value; default: the column
+    gated: bool = False      # suppressed when the row fails a parse-level rule
+    parse_level: bool = False  # participates in the parse-ok gate
+
+
+def not_null(column: str, severity: str = SEV_ERROR, rule_id: str | None = None) -> RowRule:
+    return RowRule(
+        rule_id=rule_id or f"not_null.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNull(),
+        value=lambda df: F.lit(None).cast("string"),
+        parse_level=True,
+    )
+
+
+def non_empty(column: str, severity: str = SEV_ERROR, rule_id: str | None = None) -> RowRule:
+    """Non-null value must not be empty/whitespace-only (models.py:22-28)."""
+    return RowRule(
+        rule_id=rule_id or f"non_empty.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNotNull() & (F.trim(df[column]) == ""),
+        parse_level=True,
+    )
+
+
+def type_conformance(column: str, spark_type: str, severity: str = SEV_ERROR) -> RowRule:
+    """Value present but not castable to the declared type (P1 residual)."""
+    return RowRule(
+        rule_id=f"type.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNotNull() & df[column].cast(spark_type).isNull(),
+        parse_level=True,
+    )
+
+
+def matches_regex(column: str, pattern: str, severity: str = SEV_ERROR, rule_id: str | None = None) -> RowRule:
+    """Non-null value must match pattern (URL shape check, models.py:191-197)."""
+    return RowRule(
+        rule_id=rule_id or f"regex.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNotNull() & ~df[column].rlike(pattern),
+        gated=True,
+    )
+
+
+def in_vocabulary(column: str, terms: Sequence[str], severity: str = SEV_ERROR,
+                  rule_id: str | None = None, case_insensitive: bool = False) -> RowRule:
+    """Tiny controlled vocabulary → codegen'd InSet, no join needed
+    (vocabularies.py:45-55; ISO-639 case-insensitive variant iso639.py:199-223)."""
+    if case_insensitive:
+        lowered = [t.lower() for t in terms]
+        pred = lambda df: df[column].isNotNull() & ~F.lower(df[column]).isin(lowered)  # noqa: E731
+    else:
+        pred = lambda df: df[column].isNotNull() & ~df[column].isin(list(terms))  # noqa: E731
+    return RowRule(
+        rule_id=rule_id or f"vocab.{column}",
+        column=column,
+        severity=severity,
+        predicate=pred,
+        gated=True,
+    )
+
+
+def no_url_in_text(column: str, severity: str = SEV_WARNING) -> RowRule:
+    """Literal text containing a URL ⇒ warning (validate.py:467-506)."""
+    return RowRule(
+        rule_id=f"url_in_text.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNotNull() & df[column].rlike(URL_IN_TEXT_PATTERN),
+        value=lambda df: F.regexp_extract(df[column], URL_IN_TEXT_PATTERN, 0),
+        gated=True,
+    )
+
+
+def not_contains(column: str, needle: str, severity: str = SEV_WARNING, rule_id: str | None = None) -> RowRule:
+    """Case-insensitive substring flag (placeholder check, transformations.py:807-825)."""
+    return RowRule(
+        rule_id=rule_id or f"contains.{column}",
+        column=column,
+        severity=severity,
+        predicate=lambda df: df[column].isNotNull() & F.lower(df[column]).contains(needle.lower()),
+        gated=True,
+    )
+
+
+@dataclass
+class RowRuleSet:
+    rules: list[RowRule] = field(default_factory=list)
+
+    def add(self, *rules: RowRule) -> "RowRuleSet":
+        self.rules.extend(rules)
+        return self
+
+    def parse_ok(self, df: DataFrame) -> Column:
+        gate = F.lit(True)
+        for r in self.rules:
+            if r.parse_level:
+                gate = gate & ~F.coalesce(r.predicate(df), F.lit(False))
+        return gate
+
+    def violations(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        part_col: str | None = "part",
+    ) -> DataFrame:
+        """ONE scan → all rules. Returns the canonical violations frame."""
+        gate = self.parse_ok(df)
+        slots = []
+        for r in self.rules:
+            pred = r.predicate(df)
+            if r.gated:
+                pred = pred & gate
+            val = r.value(df) if r.value is not None else df[r.column].cast("string")
+            slots.append(
+                F.when(
+                    F.coalesce(pred, F.lit(False)),
+                    F.struct(
+                        F.lit(r.rule_id).alias("rule_id"),
+                        F.lit(r.column).alias("column"),
+                        F.substring(val.cast("string"), 1, VALUE_TRUNC).alias("offending_value"),
+                        F.lit(r.severity).alias("severity"),
+                    ),
+                )
+            )
+        part = (df[part_col] if part_col else F.lit(None)).cast("string")
+        keys = list(key_cols)
+        conv_key = df[keys[0]].cast("string").alias("conv_id")
+        turn_key = (df[keys[1]].cast("int") if len(keys) > 1 else F.lit(None).cast("int")).alias("turn_idx")
+        exploded = df.select(
+            conv_key,
+            turn_key,
+            part.alias("part"),
+            F.explode(F.array_compact(F.array(*slots))).alias("_v"),
+        )
+        return exploded.select(
+            F.col("_v.rule_id").alias("rule_id"),
+            "conv_id",
+            "turn_idx",
+            F.col("_v.column").alias("column"),
+            F.col("_v.offending_value").alias("offending_value"),
+            F.col("_v.severity").alias("severity"),
+            "part",
+        )
+
+
+def empty_violations(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "rule_id string, conv_id string, turn_idx int, column string, "
+        "offending_value string, severity string, part string",
+    )

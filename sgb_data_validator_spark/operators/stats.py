@@ -1,0 +1,97 @@
+"""Per-partition per-column profiling stats (reference A4).
+
+Reference analog: ydata-profiling over the flattened frame
+(/root/reference/src/profiling.py:11-83) — per-column null counts,
+distinct counts, min/max, type inference. Re-expressed as ONE
+groupBy(part) aggregation producing a long-format stats frame:
+
+  (part, column, n, n_null, null_rate, min, max, approx_distinct,
+   conform_rate)
+
+Scale design: a single wide aggregate → one shuffle of tiny partial-agg
+state per partition; distinct counts are HyperLogLog sketches
+(``approx_count_distinct``, rsd configurable) per the north star — an
+exact distinct over 10^12 rows would shuffle the full key set. Regex
+conformance rates ride the same pass as ``sum(cast(rlike ...))``.
+
+The stats digest (md5 over the canonicalized stats rows) feeds the
+resume ledger.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    numeric: bool = False          # min/max cast to double for the long format
+    conform_pattern: str | None = None  # regex the non-null values should match
+    distinct_rsd: float = 0.05
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[ColumnSpec],
+    part_col: str | None = "part",
+) -> DataFrame:
+    """Long-format per-(partition, column) stats in ONE aggregation pass."""
+    group = [part_col] if part_col else []
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        col = F.col(c.name)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null__{c.name}"))
+        aggs.append(F.min(col.cast("string")).alias(f"_min__{c.name}"))
+        aggs.append(F.max(col.cast("string")).alias(f"_max__{c.name}"))
+        aggs.append(F.approx_count_distinct(col, c.distinct_rsd).alias(f"_dist__{c.name}"))
+        if c.conform_pattern:
+            aggs.append(
+                F.sum(F.when(col.isNotNull() & col.rlike(c.conform_pattern), 1).otherwise(0)).alias(
+                    f"_conf__{c.name}"
+                )
+            )
+    wide = df.groupBy(*group).agg(*aggs)
+
+    # unpivot wide → long with a struct array (stays in one projection)
+    structs = []
+    for c in columns:
+        conform = (
+            (F.col(f"_conf__{c.name}") / F.greatest(F.col("_n") - F.col(f"_null__{c.name}"), F.lit(1)))
+            if c.conform_pattern
+            else F.lit(None).cast("double")
+        )
+        structs.append(
+            F.struct(
+                F.lit(c.name).alias("column"),
+                F.col("_n").alias("n"),
+                F.col(f"_null__{c.name}").alias("n_null"),
+                (F.col(f"_null__{c.name}") / F.col("_n")).alias("null_rate"),
+                F.col(f"_min__{c.name}").alias("min"),
+                F.col(f"_max__{c.name}").alias("max"),
+                F.col(f"_dist__{c.name}").alias("approx_distinct"),
+                conform.alias("conform_rate"),
+            )
+        )
+    part = (F.col(part_col) if part_col else F.lit("__all__")).cast("string")
+    return wide.select(part.alias("part"), F.explode(F.array(*structs)).alias("s")).select(
+        "part", "s.*"
+    )
+
+
+def stats_digest(stats: DataFrame) -> DataFrame:
+    """Deterministic per-partition digest over the stats rows (→ ledger)."""
+    canon = F.concat_ws(
+        "|",
+        F.col("column"),
+        F.col("n").cast("string"),
+        F.col("n_null").cast("string"),
+        F.coalesce(F.col("min"), F.lit("")),
+        F.coalesce(F.col("max"), F.lit("")),
+    )
+    return stats.groupBy("part").agg(
+        F.md5(F.concat_ws("#", F.sort_array(F.collect_list(canon)))).alias("stats_digest")
+    )

@@ -1,0 +1,168 @@
+"""The assembled validation pipeline over a transcript table.
+
+Mirrors the reference's run lifecycle (validate.py:764-802 →
+print_report/save_report/export_validation_csv) as a handful of
+DataFrames:
+
+  validate(tables) → ValidationResult(violations, verdicts, stats, drift)
+
+* ``violations``: canonical rows (rule_id, conv_id, turn_idx, column,
+  offending_value, severity, part) — analog of DataValidationError /
+  Warning (validate.py:37-61).
+* ``verdicts``: per-partition (part, status, error_count, warning_count)
+  — analog of the per-item-set pass/fail (validate.py:1191-1192: exit 1
+  iff any errors → status FAILED iff any error-severity violation).
+* exit-code contract: ``ValidationResult.passed`` is False iff any
+  error exists anywhere (driver-side small collect of verdicts).
+
+Scale notes: the row rules, uniqueness, referential, sequence, and
+drift families each read the fact table once; Spark caches nothing by
+default here — callers validating the same partition set repeatedly
+should persist the pruned scan. All dimension joins are broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import drift as drift_ops
+from sgb_data_validator_spark.operators import rules as R
+from sgb_data_validator_spark.operators.referential import (
+    orphan_violations,
+    zero_children_violations,
+)
+from sgb_data_validator_spark.operators.stats import ColumnSpec, column_stats, stats_digest
+from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
+from sgb_data_validator_spark.operators.windows import sequence_violations
+from sgb_data_validator_spark.sources.generator import ROLES
+
+
+@dataclass
+class TranscriptTables:
+    turns: DataFrame
+    conversations: DataFrame | None = None
+    allowed_tools: DataFrame | None = None
+    baseline_stats: DataFrame | None = None
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    stats: DataFrame
+    _passed: bool | None = field(default=None, repr=False)
+
+    @property
+    def passed(self) -> bool:
+        if self._passed is None:
+            self._passed = (
+                self.verdicts.where(F.col("status") == "FAILED").limit(1).count() == 0
+            )
+        return self._passed
+
+
+def transcript_row_rules() -> R.RowRuleSet:
+    """The canonical row-rule set for the input_hint transcript schema."""
+    return R.RowRuleSet().add(
+        R.not_null("text"),                                   # models.py:75 analog
+        R.non_empty("text"),                                  # models.py:22-28
+        R.in_vocabulary("role", ROLES),                       # vocabularies.py:45-55
+        R.no_url_in_text("text"),                             # validate.py:467-506
+    )
+
+
+def compute_violations(t: TranscriptTables) -> DataFrame:
+    v = transcript_row_rules().violations(t.turns)
+    v = v.unionByName(uniqueness_violations(t.turns))
+    if t.conversations is not None:
+        v = v.unionByName(
+            orphan_violations(t.turns, t.conversations, "conv_id", "conv_id", "ref.conv_id")
+        )
+        v = v.unionByName(
+            zero_children_violations(t.conversations, t.turns, "conv_id", "conv_id")
+        )
+    if t.allowed_tools is not None:
+        v = v.unionByName(
+            orphan_violations(t.turns, t.allowed_tools, "tool", "tool", "ref.tool")
+        )
+    v = v.unionByName(sequence_violations(t.turns))
+    if t.baseline_stats is not None:
+        # drift runs on the vocabulary-conforming subset — out-of-vocab
+        # values are already flagged by vocab/ref rules, and counting them
+        # again as "drift" double-reports (reference analog: parse-failed
+        # records are excluded from content checks, validate.py:701-716)
+        drift_input = t.turns.where(F.col("role").isin(ROLES) | F.col("role").isNull())
+        if t.allowed_tools is not None:
+            tools = [r[0] for r in t.allowed_tools.select("tool").collect()]
+            drift_input = drift_input.where(F.col("tool").isNull() | F.col("tool").isin(tools))
+        v = v.unionByName(drift_ops.drift_violations(drift_input, t.baseline_stats))
+    return v
+
+
+def compute_verdicts(turns: DataFrame, violations: DataFrame) -> DataFrame:
+    """Per-partition pass/fail. Partitions with zero violations PASS too,
+    so verdicts start from the fact table's partition list."""
+    parts = turns.select(F.col("part").cast("string").alias("part")).distinct()
+    counts = (
+        violations.where(F.col("part").isNotNull())
+        .groupBy("part")
+        .agg(
+            F.sum((F.col("severity") == "error").cast("long")).alias("error_count"),
+            F.sum((F.col("severity") == "warning").cast("long")).alias("warning_count"),
+        )
+    )
+    return (
+        parts.join(counts, "part", "left")
+        .select(
+            "part",
+            F.coalesce("error_count", F.lit(0)).alias("error_count"),
+            F.coalesce("warning_count", F.lit(0)).alias("warning_count"),
+        )
+        .withColumn(
+            "status", F.when(F.col("error_count") > 0, F.lit("FAILED")).otherwise(F.lit("PASSED"))
+        )
+    )
+
+
+def transcript_stats(turns: DataFrame) -> DataFrame:
+    specs = [
+        ColumnSpec("conv_id"),
+        ColumnSpec("turn_idx", numeric=True),
+        ColumnSpec("role", conform_pattern=r"^(?:user|assistant|system|tool)$"),
+        ColumnSpec("text"),
+        ColumnSpec("tool"),
+        ColumnSpec("ts"),
+    ]
+    return column_stats(turns, specs)
+
+
+def validate(t: TranscriptTables) -> ValidationResult:
+    violations = compute_violations(t)
+    verdicts = compute_verdicts(t.turns, violations)
+    stats = transcript_stats(t.turns)
+    return ValidationResult(violations=violations, verdicts=verdicts, stats=stats)
+
+
+def summary_report(violations: DataFrame) -> DataFrame:
+    """Severity × rule counts (reference print_report, validate.py:804-826)."""
+    return (
+        violations.groupBy("severity", "rule_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("severity", "rule_id")
+    )
+
+
+def pivot_report(violations: DataFrame, rule_ids: list[str] | None = None) -> DataFrame:
+    """One row per resource, one column per violated rule — the CSV pivot
+    (reference export_validation_csv, validate.py:859-983). Passing the
+    explicit rule_id list skips the extra distinct-scan Spark needs to
+    discover pivot values."""
+    p = violations.groupBy("conv_id", "turn_idx").pivot("rule_id", rule_ids)
+    return p.agg(F.first("offending_value")).orderBy("conv_id", "turn_idx")
+
+
+def digest_for_ledger(result: ValidationResult) -> DataFrame:
+    return stats_digest(result.stats)

@@ -1,0 +1,100 @@
+"""Per-partition resume ledger.
+
+Reference analog: the offline workflow's on-disk stage manifests
+(download_metadata.json / transformation_metadata.json,
+/root/reference/src/api.py:1079-1092,1259-1275) — resumability via
+checkpoints. Here the checkpoint is a small table:
+
+  (part, status, error_count, warning_count, stats_digest, lineage,
+   rows, elapsed_sec, rows_per_sec, run_id, run_ts)
+
+Semantics:
+* ``record()`` appends one row per validated partition (append-only —
+  idempotent under retries; readers take the latest run per partition).
+* ``pending_partitions()`` = all partitions of the fact minus the
+  partitions whose LATEST ledger row is PASSED — re-submission skips
+  validated partitions (north rule resumability).
+
+Storage is a parquet directory in this sandbox. On a real deployment
+this is an Iceberg table and ``record`` is an overwrite-by-partition
+commit under snapshot isolation; the read path (latest-row-wins by
+run_ts) is identical.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LEDGER_SCHEMA = (
+    "part string, status string, error_count long, warning_count long, "
+    "stats_digest string, lineage string, rows long, elapsed_sec double, "
+    "rows_per_sec double, run_id string, run_ts timestamp"
+)
+
+
+class Ledger:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def latest(self) -> DataFrame:
+        w = Window.partitionBy("part").orderBy(F.desc("run_ts"), F.desc("run_id"))
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def pending_partitions(self, fact_parts: DataFrame) -> DataFrame:
+        """Partitions still needing validation (not PASSED in latest run)."""
+        done = self.latest().where(F.col("status") == "PASSED").select("part")
+        return fact_parts.select("part").distinct().join(done, "part", "left_anti")
+
+    def record(
+        self,
+        verdicts: DataFrame,
+        digests: DataFrame,
+        part_rows: DataFrame,
+        elapsed_sec: float,
+        lineage: str,
+        run_id: str | None = None,
+    ) -> str:
+        """Append one ledger row per partition from this run's outputs.
+
+        ``part_rows``: (part, rows) row counts per partition;
+        ``digests``: (part, stats_digest).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        now = time.time()
+        entry = (
+            verdicts.join(digests, "part", "left")
+            .join(part_rows, "part", "left")
+            .select(
+                "part",
+                "status",
+                F.col("error_count").cast("long"),
+                F.col("warning_count").cast("long"),
+                "stats_digest",
+                F.lit(lineage).alias("lineage"),
+                F.coalesce(F.col("rows"), F.lit(0)).cast("long").alias("rows"),
+                F.lit(float(elapsed_sec)).alias("elapsed_sec"),
+                (F.coalesce(F.col("rows"), F.lit(0)) / F.lit(max(elapsed_sec, 1e-9))).alias(
+                    "rows_per_sec"
+                ),
+                F.lit(run_id).alias("run_id"),
+                F.timestamp_seconds(F.lit(now)).alias("run_ts"),
+            )
+        )
+        entry.write.mode("append").parquet(self.path)
+        return run_id
