@@ -1,0 +1,144 @@
+"""End-to-end: Spark engine vs the row-at-a-time pure-Python oracle on
+the deterministic fixture (FIXTURES.md §6), plus generator determinism,
+verdict semantics, and ledger resume."""
+
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.plans.pipeline import (
+    TranscriptTables,
+    compute_verdicts,
+    summary_report,
+    validate,
+)
+from sgb_data_validator_spark.sources.generator import (
+    FixtureConfig,
+    generate_allowed_tools,
+    generate_baseline_stats,
+    generate_conversations,
+    generate_turns,
+)
+from sgb_data_validator_spark.sources.ledger import Ledger
+from tests import oracle
+
+CFG = FixtureConfig(n_turns=3000)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return TranscriptTables(
+        turns=generate_turns(spark, CFG),
+        conversations=generate_conversations(spark, CFG),
+        allowed_tools=generate_allowed_tools(spark),
+        baseline_stats=generate_baseline_stats(spark, CFG),
+    )
+
+
+@pytest.fixture(scope="module")
+def result(tables):
+    return validate(tables)
+
+
+def test_generator_deterministic_across_parallelism(spark, tables):
+    a = tables.turns.orderBy("conv_id", "turn_idx", "ts").collect()
+    b = (
+        generate_turns(spark, CFG)
+        .repartition(13)
+        .orderBy("conv_id", "turn_idx", "ts")
+        .collect()
+    )
+    assert a == b
+
+
+def test_violations_match_python_oracle(spark, tables, result):
+    turn_rows = [r.asDict() for r in tables.turns.collect()]
+    convs = {r.conv_id for r in tables.conversations.collect()}
+    tools = {r.tool for r in tables.allowed_tools.collect()}
+
+    want = oracle.expected_violations(turn_rows, convs, tools)
+    got = sorted(
+        (r.rule_id, r.conv_id, r.turn_idx)
+        for r in result.violations.where(~F.col("rule_id").startswith("drift")).collect()
+    )
+    want = sorted(want, key=lambda x: (x[0], str(x[1]), -1 if x[2] is None else x[2]))
+    got = sorted(got, key=lambda x: (x[0], str(x[1]), -1 if x[2] is None else x[2]))
+    assert got == want
+
+
+def test_drift_matches_python_oracle(spark, tables, result):
+    turn_rows = [r.asDict() for r in tables.turns.collect()]
+    baseline = {
+        (r.dim, r.value): r.freq for r in tables.baseline_stats.collect()
+    }
+    tools = {r.tool for r in tables.allowed_tools.collect()}
+    want = oracle.expected_drift_parts(turn_rows, baseline, tools=tools)
+    got = {
+        (r.rule_id, r.part)
+        for r in result.violations.where(F.col("rule_id").startswith("drift")).collect()
+    }
+    assert got == want
+
+
+def test_verdicts(spark, tables, result):
+    verd = {r.part: r for r in result.verdicts.collect()}
+    assert verd["2026-01-05"].status == "PASSED"  # day 0 kept clean
+    assert sum(1 for v in verd.values() if v.status == "FAILED") >= 5
+    # error/warning counts consistent with violations
+    counts = {
+        (r.part, r.severity): r.n
+        for r in result.violations.where(F.col("part").isNotNull())
+        .groupBy("part", "severity").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for p, v in verd.items():
+        assert v.error_count == counts.get((p, "error"), 0)
+        assert v.warning_count == counts.get((p, "warning"), 0)
+    assert result.passed is False
+
+
+def test_clean_config_passes(spark):
+    cfg = replace(CFG, dirt=False, n_empty_convs=0)
+    t = TranscriptTables(
+        turns=generate_turns(spark, cfg),
+        conversations=generate_conversations(spark, cfg),
+        allowed_tools=generate_allowed_tools(spark),
+        baseline_stats=generate_baseline_stats(spark, cfg),
+    )
+    assert validate(t).passed is True
+
+
+def test_summary_report_shape(result):
+    rows = summary_report(result.violations).collect()
+    rules = {r.rule_id for r in rows}
+    assert {"not_null.text", "non_empty.text", "vocab.role", "unique.turn",
+            "ref.conv_id", "ref.tool", "url_in_text.text"} <= rules
+
+
+def test_ledger_resume(spark, tables, result, tmp_path):
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    part_rows = tables.turns.groupBy(F.col("part").cast("string").alias("part")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    from sgb_data_validator_spark.plans.pipeline import digest_for_ledger
+
+    led.record(result.verdicts, digest_for_ledger(result), part_rows, 1.0, "test")
+    pending = {r.part for r in led.pending_partitions(tables.turns).collect()}
+    all_parts = {r.part for r in tables.turns.select("part").distinct().collect()}
+    assert "2026-01-05" not in pending          # PASSED partition skipped
+    assert pending == all_parts - {"2026-01-05"}
+
+    # re-record with everything passed ⇒ nothing pending
+    forced = result.verdicts.withColumn("status", F.lit("PASSED"))
+    led.record(forced, digest_for_ledger(result), part_rows, 1.0, "test2")
+    assert led.pending_partitions(tables.turns).count() == 0
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, part string"
+    )
+    res = validate(TranscriptTables(empty))
+    assert res.violations.count() == 0
+    assert res.verdicts.count() == 0
+    assert res.passed is True

@@ -1,0 +1,88 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.drift import drift_violations, kl_divergence
+from sgb_data_validator_spark.operators.stats import ColumnSpec, column_stats, stats_digest
+from sgb_data_validator_spark.operators.windows import sequence_violations
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 5, h, m)
+
+
+def test_sequence_rules(spark):
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, _ts(1), "p"), ("c1", 1, _ts(2), "p"), ("c1", 2, _ts(1, 30), "p"),  # ts rewind at idx 2
+            ("c2", 1, _ts(1), "p"),                                                      # starts at 1
+            ("c3", 0, _ts(1), "p"), ("c3", 3, _ts(2), "p"),                              # gap 0→3
+        ],
+        "conv_id string, turn_idx int, ts timestamp, part string",
+    )
+    got = sorted((r.rule_id, r.conv_id, r.turn_idx) for r in sequence_violations(turns).collect())
+    assert got == [
+        ("ts.monotonicity", "c1", 2),
+        ("turn.contiguity", "c2", 1),
+        ("turn.contiguity", "c3", 3),
+    ]
+
+
+def test_column_stats_long_format(spark):
+    df = spark.createDataFrame(
+        [("p1", "a", 1), ("p1", None, 2), ("p1", "b", 2), ("p2", "a", None)],
+        "part string, s string, n int",
+    )
+    stats = column_stats(df, [ColumnSpec("s"), ColumnSpec("n", numeric=True)]).collect()
+    by = {(r.part, r.column): r for r in stats}
+    assert by[("p1", "s")].n == 3 and by[("p1", "s")].n_null == 1
+    assert by[("p1", "s")].min == "a" and by[("p1", "s")].max == "b"
+    assert by[("p2", "n")].null_rate == 1.0
+    assert by[("p1", "n")].approx_distinct == 2
+
+
+def test_stats_digest_deterministic(spark):
+    df = spark.createDataFrame(
+        [("p1", "a"), ("p1", "b"), ("p2", "c")], "part string, s string"
+    )
+    s1 = stats_digest(column_stats(df, [ColumnSpec("s")])).collect()
+    s2 = stats_digest(column_stats(df.repartition(3), [ColumnSpec("s")])).collect()
+    assert {(r.part, r.stats_digest) for r in s1} == {(r.part, r.stats_digest) for r in s2}
+
+
+def test_conformance_rate(spark):
+    df = spark.createDataFrame(
+        [("p", "user"), ("p", "bogus"), ("p", None), ("p", "tool")],
+        "part string, role string",
+    )
+    stats = column_stats(df, [ColumnSpec("role", conform_pattern=r"^(?:user|tool)$")]).collect()
+    assert abs(stats[0].conform_rate - 2 / 3) < 1e-9
+
+
+def test_kl_zero_on_identical_distribution(spark):
+    turns = spark.createDataFrame(
+        [("p1", "user", _ts(1))] * 5 + [("p1", "assistant", _ts(1))] * 5,
+        "part string, role string, ts timestamp",
+    )
+    baseline = spark.createDataFrame(
+        [("role", "user", 0.5), ("role", "assistant", 0.5)], "dim string, value string, freq double"
+    )
+    kl = kl_divergence(turns, baseline, "role").collect()[0]
+    assert abs(kl.kl) < 1e-12
+
+
+def test_drift_fires_on_shifted_partition(spark):
+    rows = (
+        [("good", "user", _ts(1))] * 50 + [("good", "assistant", _ts(2))] * 50
+        + [("bad", "user", _ts(1))] * 95 + [("bad", "assistant", _ts(2))] * 5
+    )
+    turns = spark.createDataFrame(rows, "part string, role string, ts timestamp")
+    turns = turns.withColumn("tool", F.lit(None).cast("string"))
+    baseline = spark.createDataFrame(
+        [("role", "user", 0.5), ("role", "assistant", 0.5),
+         ("ts_hour_bucket", "1", 0.5), ("ts_hour_bucket", "2", 0.5)],
+        "dim string, value string, freq double",
+    )
+    got = {(r.rule_id, r.part) for r in drift_violations(turns, baseline).collect()}
+    assert ("drift.kl.role", "bad") in got
+    assert all(p != "good" for _, p in got)
