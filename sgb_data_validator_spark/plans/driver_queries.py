@@ -1,0 +1,473 @@
+"""Driver-contract queries: every engine operator exercised over the
+driver's testdata tables, each paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet (see tools/check_oracle.py and
+__spark_entry__.py).
+
+The engine's own domain is transcript tables (conv_id, turn_idx, ...);
+here the same operators run over the generic tables (documents, events,
+lineitem, orders, embeddings) by projecting them into the operator
+inputs — proving the operators, not the fixtures.
+
+Oracle-parity conventions:
+* every computed column aliased identically in Spark and SQL;
+* counts cast to bigint on both sides;
+* float aggregates rounded (4-6 dp) on both sides;
+* money sums carried as DECIMAL(18,2) on both sides (exact);
+* regexes restricted to the Java∩RE2 dialect intersection (no
+  lookahead in oracle SQL — rewritten with capture groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import rules as R
+from sgb_data_validator_spark.operators.drift import kl_divergence, ts_chi_square
+from sgb_data_validator_spark.operators.referential import (
+    orphan_violations,
+    zero_children_violations,
+)
+from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
+
+EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' ⇒ vocab violation
+LANGS = ["en", "de", "fr", "es"]  # 'zh' ⇒ vocab violation
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- row rules
+
+def q_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/J1/P6/P3 as one single-pass projection over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    rs = R.RowRuleSet().add(
+        R.not_null("text"),
+        R.non_empty("text"),
+        R.in_vocabulary("lang", LANGS),
+        R.no_url_in_text("text"),
+        R.matches_regex("source", r"^src[0-9]+$"),
+    )
+    return rs.violations(docs, key_cols=("doc_id",), part_col=None)
+
+
+SQL_ROW_RULES = f"""
+WITH base AS (
+  SELECT *, (text IS NOT NULL AND trim(text) <> '') AS parse_ok FROM documents
+)
+SELECT 'not_null.text' AS rule_id, cast(doc_id AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'text' AS "column",
+       cast(NULL AS varchar) AS offending_value, 'error' AS severity,
+       cast(NULL AS varchar) AS part
+FROM base WHERE text IS NULL
+UNION ALL
+SELECT 'non_empty.text', cast(doc_id AS varchar), cast(NULL AS int), 'text',
+       substr(text, 1, 80), 'error', cast(NULL AS varchar)
+FROM base WHERE text IS NOT NULL AND trim(text) = ''
+UNION ALL
+SELECT 'vocab.lang', cast(doc_id AS varchar), cast(NULL AS int), 'lang',
+       substr(lang, 1, 80), 'error', cast(NULL AS varchar)
+FROM base WHERE parse_ok AND lang IS NOT NULL AND lang NOT IN ({", ".join(repr(x) for x in LANGS)})
+UNION ALL
+SELECT 'url_in_text.text', cast(doc_id AS varchar), cast(NULL AS int), 'text',
+       substr(regexp_extract(text, '(?i)(?:https?://|ftp://|www\\.)[^\\s]+', 0), 1, 80),
+       'warning', cast(NULL AS varchar)
+FROM base WHERE parse_ok AND text IS NOT NULL
+  AND regexp_matches(text, '(?i)(?:https?://|ftp://|www\\.)[^\\s]+')
+UNION ALL
+SELECT 'regex.source', cast(doc_id AS varchar), cast(NULL AS int), 'source',
+       substr(source, 1, 80), 'error', cast(NULL AS varchar)
+FROM base WHERE parse_ok AND source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+"""
+
+
+# ---------------------------------------------------------------- uniqueness
+
+def q_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 salted two-stage uniqueness on (l_orderkey, l_linenumber) — the
+    testdata carries real duplicate keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return uniqueness_violations(
+        li, keys=("l_orderkey", "l_linenumber"), rule_id="unique.lineitem", part_col=None
+    )
+
+
+SQL_UNIQUE = """
+WITH dups AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT 'unique.lineitem' AS rule_id,
+       cast(l.l_orderkey AS varchar) AS conv_id,
+       cast(l.l_linenumber AS int) AS turn_idx,
+       'l_orderkey,l_linenumber' AS "column",
+       'duplicate x' || cast(d.dup_count AS varchar) AS offending_value,
+       'error' AS severity,
+       cast(NULL AS varchar) AS part
+FROM lineitem l JOIN dups d
+  ON l.l_orderkey = d.l_orderkey AND l.l_linenumber = d.l_linenumber
+"""
+
+
+# ---------------------------------------------------------------- referential
+
+def q_ref_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 broadcast anti-joins: lineitem→orders (clean ⇒ empty) and
+    orders→active-customer manifest (negative-balance customers fall out
+    of the manifest ⇒ their orders are orphans)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"), "l_orderkey"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
+    a = orphan_violations(
+        li, _t(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey",
+        "ref.l_orderkey", turn_col=None, part_col=None,
+    )
+    ofact = orders.select(F.col("o_orderkey").cast("string").alias("conv_id"), "o_custkey")
+    b = orphan_violations(
+        ofact, cust, "o_custkey", "c_custkey", "ref.o_custkey_active",
+        turn_col=None, part_col=None,
+    )
+    return a.unionByName(b)
+
+
+SQL_REF_ORPHANS = """
+SELECT 'ref.l_orderkey' AS rule_id, cast(l_orderkey AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'l_orderkey' AS "column",
+       cast(l_orderkey AS varchar) AS offending_value, 'error' AS severity,
+       cast(NULL AS varchar) AS part
+FROM lineitem l
+WHERE l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'ref.o_custkey_active', cast(o_orderkey AS varchar), cast(NULL AS int),
+       'o_custkey', cast(o_custkey AS varchar), 'error', cast(NULL AS varchar)
+FROM orders o
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_acctbal >= 0 AND c.c_custkey = o.o_custkey)
+"""
+
+
+def q_zero_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: orders with no lineitem children ⇒ warning."""
+    return zero_children_violations(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey", rule_id="empty.order",
+    )
+
+
+SQL_ZERO_CHILDREN = """
+SELECT 'empty.order' AS rule_id, cast(o_orderkey AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'o_orderkey' AS "column",
+       cast(o_orderkey AS varchar) AS offending_value, 'warning' AS severity,
+       cast(NULL AS varchar) AS part
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------- stats
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-group profiling stats (exact-distinct variant so the SQL
+    oracle can mirror it; the engine's scale path uses HLL sketches —
+    see q_stats_hll, rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_tax").isNull().cast("bigint")).alias("n_null_tax"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+    )
+
+
+SQL_COLUMN_STATS = """
+SELECT l_returnflag AS part,
+       cast(count(*) AS bigint) AS n,
+       cast(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_tax,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       cast(count(DISTINCT l_partkey) AS bigint) AS distinct_parts,
+       round(avg(l_discount), 4) AS avg_discount,
+       sum(cast(l_extendedprice AS decimal(18,2))) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 conformance/null-rate per day-partition of events."""
+    ev = _t(spark, sf_dir, "events")
+    pat = "^(?:" + "|".join(EVENT_TYPES) + ")$"
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("event_type").rlike(pat).cast("bigint"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("conform_rate"),
+            F.round(F.sum(F.col("value").isNull().cast("bigint")) / F.count(F.lit(1)), 4).alias(
+                "null_rate_value"
+            ),
+        )
+    )
+
+
+SQL_CONFORMANCE = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS part,
+       cast(count(*) AS bigint) AS n,
+       round(sum(CASE WHEN regexp_matches(event_type, '^(?:{"|".join(EVENT_TYPES)})$')
+                      THEN 1 ELSE 0 END) / cast(count(*) AS double), 4) AS conform_rate,
+       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) / cast(count(*) AS double), 4)
+         AS null_rate_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- drift
+
+def _events_as_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        F.col("event_type").alias("role"),
+        "ts",
+    )
+
+
+def q_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 KL divergence per day-partition vs the global event_type mix
+    (the global mix plays baseline_stats)."""
+    t = _events_as_transcript(spark, sf_dir)
+    total = t.count()
+    baseline = (
+        t.groupBy(F.col("role").alias("value"))
+        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("freq"))
+        .select(F.lit("role").alias("dim"), "value", "freq")
+    )
+    kl = kl_divergence(t, baseline, "role")
+    return kl.select("part", F.round("kl", 6).alias("kl"), F.col("n_obs").cast("bigint").alias("n_obs"))
+
+
+SQL_DRIFT_KL = """
+WITH q AS (
+  SELECT event_type AS value, count(*) / cast((SELECT count(*) FROM events) AS double) AS freq
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, event_type AS value, cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT part, sum(n) AS total FROM p GROUP BY 1
+)
+SELECT p.part,
+       round(sum((p.n / cast(t.total AS double)) * ln((p.n / cast(t.total AS double)) / coalesce(q.freq, 1e-6))), 6) AS kl,
+       cast(max(t.total) AS bigint) AS n_obs
+FROM p JOIN tot t ON p.part = t.part LEFT JOIN q ON p.value = q.value
+GROUP BY p.part
+"""
+
+
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 chi-square of the hour-of-day histogram per day vs global."""
+    t = _events_as_transcript(spark, sf_dir)
+    total = t.count()
+    baseline = (
+        t.groupBy(F.hour("ts").cast("string").alias("value"))
+        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("freq"))
+        .select(F.lit("ts_hour_bucket").alias("dim"), "value", "freq")
+    )
+    chi = ts_chi_square(t, baseline)
+    return chi.select("part", F.round("chi2", 4).alias("chi2"))
+
+
+SQL_DRIFT_CHI2 = """
+WITH q AS (
+  SELECT cast(hour(ts) AS varchar) AS value,
+         count(*) / cast((SELECT count(*) FROM events) AS double) AS freq
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, cast(hour(ts) AS varchar) AS value,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT part, sum(n) AS total FROM p GROUP BY 1
+)
+SELECT p.part,
+       round(sum(pow(p.n - coalesce(q.freq, 1e-6) * t.total, 2)
+                 / (coalesce(q.freq, 1e-6) * t.total)), 4) AS chi2
+FROM p JOIN tot t ON p.part = t.part LEFT JOIN q ON p.value = q.value
+GROUP BY p.part
+"""
+
+
+# ---------------------------------------------------------------- sequence
+
+def q_ts_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 lag-based monotonicity: events per user ordered by event_id must
+    have non-decreasing ts (clean data ⇒ empty result is the assertion)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("ts") < F.col("_prev")))
+        .select(
+            F.lit("ts.monotonicity").alias("rule_id"),
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+        )
+    )
+
+
+SQL_TS_MONOTONICITY = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS _prev
+  FROM events
+)
+SELECT 'ts.monotonicity' AS rule_id, cast(user_id AS varchar) AS conv_id,
+       cast(event_id AS bigint) AS event_id
+FROM w WHERE _prev IS NOT NULL AND ts < _prev
+"""
+
+
+def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 dense-sequence check: l_linenumber per order must be exactly
+    1..n (duplicates break max = distinct-count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return g.where(
+        (F.col("min_ln") != 1) | (F.col("max_ln") != F.col("n_distinct")) | (F.col("n_rows") != F.col("n_distinct"))
+    ).select(
+        F.lit("turn.contiguity").alias("rule_id"),
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("min_ln").cast("int").alias("min_ln"),
+        F.col("max_ln").cast("int").alias("max_ln"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "n_rows",
+    )
+
+
+SQL_CONTIGUITY = """
+WITH g AS (
+  SELECT l_orderkey, min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln,
+         count(DISTINCT l_linenumber) AS n_distinct, cast(count(*) AS bigint) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT 'turn.contiguity' AS rule_id, cast(l_orderkey AS varchar) AS conv_id,
+       cast(min_ln AS int) AS min_ln, cast(max_ln AS int) AS max_ln,
+       cast(n_distinct AS bigint) AS n_distinct, n_rows
+FROM g WHERE min_ln <> 1 OR max_ln <> n_distinct OR n_rows <> n_distinct
+"""
+
+
+# ---------------------------------------------------------------- reports
+
+def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_row_rules(spark, sf_dir)
+        .unionByName(q_unique(spark, sf_dir))
+        .unionByName(q_ref_orphans(spark, sf_dir))
+        .unionByName(q_zero_children(spark, sf_dir))
+    )
+
+
+_SQL_ALL_VIOLATIONS = " UNION ALL ".join(
+    f"SELECT * FROM ({s})" for s in (SQL_ROW_RULES, SQL_UNIQUE, SQL_REF_ORPHANS, SQL_ZERO_CHILDREN)
+)
+
+
+def q_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 severity × rule counts over the union of all rule families."""
+    return (
+        _all_violations(spark, sf_dir)
+        .groupBy("severity", "rule_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+SQL_SUMMARY = f"""
+WITH v AS ({_SQL_ALL_VIOLATIONS})
+SELECT severity, rule_id, cast(count(*) AS bigint) AS n FROM v GROUP BY 1, 2
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-resource × per-rule pivot (explicit pivot values ⇒ no
+    discovery scan; max() not first() for cross-engine determinism)."""
+    v = _all_violations(spark, sf_dir)
+    return (
+        v.groupBy("conv_id")
+        .pivot("rule_id", ["vocab.lang", "unique.lineitem", "ref.o_custkey_active", "empty.order"])
+        .agg(F.max("offending_value"))
+    )
+
+
+SQL_PIVOT = f"""
+WITH v AS ({_SQL_ALL_VIOLATIONS})
+SELECT conv_id,
+       max(CASE WHEN rule_id = 'vocab.lang' THEN offending_value END) AS "vocab.lang",
+       max(CASE WHEN rule_id = 'unique.lineitem' THEN offending_value END) AS "unique.lineitem",
+       max(CASE WHEN rule_id = 'ref.o_custkey_active' THEN offending_value END) AS "ref.o_custkey_active",
+       max(CASE WHEN rule_id = 'empty.order' THEN offending_value END) AS "empty.order"
+FROM v GROUP BY conv_id
+"""
+
+
+def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail over events day partitions (vocab rule on
+    event_type; 'error' type present every day ⇒ all FAILED — the
+    assertion is count + status parity)."""
+    ev = _t(spark, sf_dir, "events")
+    err = (~F.col("event_type").isin(EVENT_TYPES)).cast("bigint")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part"))
+        .agg(F.sum(err).alias("error_count"))
+        .select(
+            "part",
+            "error_count",
+            F.when(F.col("error_count") > 0, F.lit("FAILED")).otherwise(F.lit("PASSED")).alias("status"),
+        )
+    )
+
+
+SQL_VERDICTS = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS part,
+       cast(sum(CASE WHEN event_type NOT IN ({", ".join(repr(x) for x in EVENT_TYPES)})
+                     THEN 1 ELSE 0 END) AS bigint) AS error_count,
+       CASE WHEN sum(CASE WHEN event_type NOT IN ({", ".join(repr(x) for x in EVENT_TYPES)})
+                          THEN 1 ELSE 0 END) > 0 THEN 'FAILED' ELSE 'PASSED' END AS status
+FROM events GROUP BY 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "row_rules": (q_row_rules, SQL_ROW_RULES),
+    "unique": (q_unique, SQL_UNIQUE),
+    "ref_orphans": (q_ref_orphans, SQL_REF_ORPHANS),
+    "zero_children": (q_zero_children, SQL_ZERO_CHILDREN),
+    "column_stats": (q_column_stats, SQL_COLUMN_STATS),
+    "conformance": (q_conformance, SQL_CONFORMANCE),
+    "drift_kl": (q_drift_kl, SQL_DRIFT_KL),
+    "drift_chi2": (q_drift_chi2, SQL_DRIFT_CHI2),
+    "ts_monotonicity": (q_ts_monotonicity, SQL_TS_MONOTONICITY),
+    "contiguity": (q_contiguity, SQL_CONTIGUITY),
+    "summary": (q_summary, SQL_SUMMARY),
+    "pivot": (q_pivot, SQL_PIVOT),
+    "verdicts": (q_verdicts, SQL_VERDICTS),
+}

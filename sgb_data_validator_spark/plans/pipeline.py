@@ -74,8 +74,8 @@ def transcript_row_rules() -> R.RowRuleSet:
     )
 
 
-def compute_violations(t: TranscriptTables) -> DataFrame:
-    v = transcript_row_rules().violations(t.turns)
+def compute_violations(t: TranscriptTables, row_rules: R.RowRuleSet | None = None) -> DataFrame:
+    v = (row_rules or transcript_row_rules()).violations(t.turns)
     v = v.unionByName(uniqueness_violations(t.turns))
     if t.conversations is not None:
         v = v.unionByName(
@@ -139,8 +139,8 @@ def transcript_stats(turns: DataFrame) -> DataFrame:
     return column_stats(turns, specs)
 
 
-def validate(t: TranscriptTables) -> ValidationResult:
-    violations = compute_violations(t)
+def validate(t: TranscriptTables, row_rules: R.RowRuleSet | None = None) -> ValidationResult:
+    violations = compute_violations(t, row_rules)
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)
     return ValidationResult(violations=violations, verdicts=verdicts, stats=stats)
