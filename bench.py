@@ -1,0 +1,108 @@
+"""Benchmark harness: runs the headline validation queries over the
+driver testdata and prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local cores (default 32)
+
+Each query is forced with a count() action (results are violation /
+stats frames — row counts are the cheap full-materialization action).
+A warmup pass on the flagship query absorbs JVM/session startup so the
+per-query numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline set: every rule family the engine ships
+HEADLINE = [
+    "row_rules",
+    "unique",
+    "ref_orphans",
+    "zero_children",
+    "column_stats",
+    "conformance",
+    "drift_kl",
+    "drift_chi2",
+    "ts_monotonicity",
+    "contiguity",
+    "summary",
+    "pivot",
+    "verdicts",
+    "transcript_pipeline",
+    "text_pipeline",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram",
+    "dedup_embedding",
+    "knn_bruteforce",
+    "knn_lsh",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from sgb_data_validator_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # anything new in queries() that isn't in the headline list yet
+    names += [n for n in queries if n not in names]
+
+    # warmup: flagship pipeline at the smallest sf to absorb session startup
+    try:
+        entrymod.entry(spark).count()
+    except Exception:
+        pass
+
+    per_query: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in names:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            per_query[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a broken query must not kill the bench
+            per_query[name] = -1.0
+            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total wall seconds for all headline validation queries",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

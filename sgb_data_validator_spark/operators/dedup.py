@@ -1,0 +1,387 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates only identifiers (exact, driver-side dict —
+validate.py:658-684) and QID lists (transformations.py:937-952). A
+100 TB corpus needs document-level near-dup detection; these operators
+provide the standard ladder, each expressed Spark-first:
+
+* exact            — hash-groupBy on a canonical fingerprint (one shuffle
+                     of (fingerprint, id) pairs only, never the payload).
+* minhash + LSH    — shingle → k portable min-hashes → band buckets →
+                     candidate pairs from bucket joins. Pair generation is
+                     linear in bucket occupancy, never all-pairs.
+* simhash          — 32-bit sign-of-weighted-sum sketch; near-dups blocked
+                     on 8-bit bands (pigeonhole: hamming ≤ 3 ⇒ one of the
+                     4 bands equal), verified with bit_count(xor).
+* n-gram Jaccard   — exact set overlap within explicit blocking keys
+                     (bounded candidate sets; the verify stage behind LSH).
+* embedding cosine — near-dup pairs over an embedding column, LSH-blocked
+                     by random-hyperplane sign buckets.
+
+Portability contract: every hash here is reproducible in ANSI SQL
+(md5-hex prefix → bigint; affine permutations mod a 31-bit prime) so
+each operator carries a DuckDB oracle in plans/driver_queries.py.
+
+All heavy lifting is native column expressions (whole-stage codegen);
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: affine products stay < 2^62, no bigint overflow
+MERSENNE_31 = 2_147_483_647
+
+# deterministic affine permutation coefficients (a_i, b_i) — must match
+# the SQL oracle generator; seeded with small odd constants, coprime to p
+def permutation_coeffs(k: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1_000_003, 998_244_353
+    for i in range(k):
+        coeffs.append(((a * (2 * i + 1)) % MERSENNE_31, (b * (i + 7)) % MERSENNE_31))
+    return coeffs
+
+
+def portable_hash(col: Column) -> Column:
+    """60-bit integer hash reproducible across engines:
+    bigint(hex(md5(x)[:15])). Spark: conv(); DuckDB: ('0x'||…)::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 1, lowercase: bool = True) -> Column:
+    """Distinct word n-gram shingles of ``text`` as an array column.
+    n=1 → the word set; n>1 → sliding word windows joined with \\x1f."""
+    t = F.lower(text) if lowercase else text
+    words = F.split(F.trim(t), r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    # sliding windows: for i in 0..len-n: concat(words[i..i+n-1])
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def canonical_fingerprint(text: Column) -> Column:
+    """Exact-dedup canonical form: md5 over the sorted distinct word set.
+    Catches reorder-only duplicates; one md5 per row, no shuffle of text."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+")))))
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, rule_id: str = "dedup.exact"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one violation row per member of every
+    duplicate group, carrying group size and the canonical id kept.
+
+    Scale shape: shuffles (fingerprint, id) pairs only — the 100 TB text
+    payload never moves. Group sizes are Zipf-prone (boilerplate docs),
+    so member emission comes from a broadcast join of the (rare)
+    duplicate fingerprints back to the fact, not from collect_list."""
+    fp = df.select(F.col(id_col).alias("id"), canonical_fingerprint(F.col(text_col)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("id").alias("keep_id")
+    ).where(F.col("group_size") > 1)
+    return (
+        fp.join(F.broadcast(groups), "fp")
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            F.col("id").cast("string").alias("doc_id"),
+            F.col("fp").alias("fingerprint"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("keep_id").cast("string").alias("keep_id"),
+            (F.col("id") != F.col("keep_id")).alias("is_redundant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
+    """k portable min-hashes of a shingle array — all inside codegen:
+    transform() the array per permutation, array_min the result."""
+    cols = []
+    for a, b in permutation_coeffs(k):
+        hashed = F.transform(
+            shingles,
+            lambda s: (F.lit(a) * (portable_hash(s) % MERSENNE_31) + F.lit(b)) % MERSENNE_31,
+        )
+        cols.append(F.array_min(hashed))
+    return cols
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    band_rows: int = 2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates: (id_a, id_b, n_bands) with
+    id_a < id_b, n_bands = number of colliding bands.
+
+    Scale shape: the banded table is k/band_rows rows per doc of
+    (band_key, id) — tiny vs the corpus. The self-join on band_key is
+    the only quadratic risk; occupancy of a band bucket is the dup
+    cluster size, so cost is Σ cluster², the unavoidable output size.
+    Hot buckets (giant boilerplate clusters) would be capped upstream by
+    exact dedup running first."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            s.alias(f"sig{i}")
+            for i, s in enumerate(minhash_signature(word_shingles(F.col(text_col), shingle_n), k))
+        ],
+    )
+    n_bands = k // band_rows
+    bands = []
+    for bi in range(n_bands):
+        key = F.concat_ws(
+            ":",
+            F.lit(str(bi)),
+            *[F.col(f"sig{bi * band_rows + r}").cast("string") for r in range(band_rows)],
+        )
+        bands.append(sigs.select("id", key.alias("band_key")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12 → 4096 buckets per band
+
+
+def simhash48(shingles: Column) -> Column:
+    """48-bit SimHash of a shingle array: bit b set iff the sum over
+    shingles of ±1 (by bit b of the shingle hash) is positive. One
+    aggregate() fold per document — no shuffle at all. 48 bits so the
+    4 blocking bands are 12 bits wide (4096 buckets each): at 10^12
+    docs, band-bucket occupancy stays join-safe, unlike 8-bit bands."""
+    h = F.transform(shingles, lambda s: portable_hash(s))
+    bit_sums = [
+        F.aggregate(
+            h,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.when(x.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    sim = F.lit(0).cast("bigint")
+    for b, s in enumerate(bit_sums):
+        sim = sim + F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sim
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dups: pairs with hamming(sim_a, sim_b) ≤ max_hamming.
+    Blocking: 4 bands of 12 bits — pigeonhole guarantees any pair within
+    hamming ≤ 3 collides on at least one band, so the band join finds
+    every qualifying pair without an all-pairs scan. Default shingles
+    are word bigrams: sequence-sensitive (reorderings are NOT near-dups
+    here — the word-set operators catch those) and far better spread
+    for the banding."""
+    sims = df.select(
+        F.col(id_col).alias("id"), simhash48(word_shingles(F.col(text_col), shingle_n)).alias("sim")
+    )
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = None
+    for bi in range(SIMHASH_BANDS):
+        piece = sims.select(
+            "id",
+            "sim",
+            F.concat_ws(
+                ":",
+                F.lit(str(bi)),
+                F.shiftright("sim", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).cast("string"),
+            ).alias("band_key"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard within explicit blocking keys — the verify
+    stage of a dedup pipeline (LSH proposes, this confirms).
+
+    Scale shape: the gram join runs per (block, gram); candidate volume
+    is bounded by block sizes, set by the caller's blocking keys. The
+    gram table shuffles (block, gram, id) triplets, never documents."""
+    block = F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        block.alias("block"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("inter").cast("bigint").alias("inter"), "jaccard")
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (the confirm stage
+    behind MinHash LSH: LSH proposes, this measures). Cost is linear in
+    |pairs| × shingles-per-doc — never quadratic in the corpus. The
+    candidate pair set is small by construction, so both joins against
+    the gram table broadcast it."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    p = F.broadcast(pairs.select("id_a", "id_b"))
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        p.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("inter").cast("bigint").alias("inter"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- embedding
+
+def _plane_weight(j: int, i: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-32768, 32767] —
+    integer LCG on the (plane, dim) index, identical in the SQL oracle."""
+    return ((1_103_515_245 * (j * 997 + i) + 12_345) % 65_536) - 32_768
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-of-dot-product LSH bucket id over ``n_planes`` fixed integer
+    hyperplanes. Pure column math: one aggregate() fold per plane."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        weights = F.array(*[F.lit(_plane_weight(j, i)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in double
+    with a deterministic left-to-right fold (oracle-reproducible)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: vectors sharing a
+    random-hyperplane sign bucket are compared exactly; cosine ≥
+    threshold survives. High-cosine pairs collide with probability
+    (1 - θ/π)^n_planes — recall is tuned by n_planes (and multi-probe
+    at scale); cost is Σ bucket², never N²."""
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,75 @@
+"""Multimodal (binary payload) plumbing.
+
+No analog in the reference beyond media metadata checks
+(src/models.py:105-197: o:media_type / o:sha256 / o:size are *metadata
+about* binaries, never the bytes). At 100 TB the engine must carry
+image/audio/video as opaque ``binary`` columns with typed metadata and
+run decode / feature-extract stages as Arrow-batched Python over
+``mapInPandas``. The decode libraries (Pillow/ffmpeg) are not in this
+container, so the codec step is STUBBED (NotImplementedError), while
+everything Spark-side — schema, batching, partitioning, the UDF
+signature — is real and tested.
+
+Feature extraction here computes deterministic byte-level features
+(size, md5, first-byte) so the pipeline is end-to-end verifiable
+against a SQL oracle even with the codec stubbed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature-extraction stage
+FEATURE_SCHEMA = "doc_id bigint, media_type string, n_bytes bigint, content_md5 string, first_byte int"
+
+
+def decode_image(payload: bytes) -> "object":
+    """Codec stub: real deployments decode via Pillow here. The Spark
+    plumbing (mapInPandas batching) does not depend on the codec."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, media_type: str = "text/plain") -> DataFrame:
+    """Test-path payload builder: treat the UTF-8 bytes of ``text_col``
+    as the opaque binary, with typed metadata alongside — the exact
+    column shape a real image/audio table has."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_type", F.lit(media_type)
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched byte-feature extraction over ``mapInPandas``.
+
+    Scale shape: runs embarrassingly parallel per input partition; each
+    Python worker sees bounded Arrow batches (session conf
+    arrow.maxRecordsPerBatch), so a 100 TB binary column streams through
+    without materializing a partition in memory. Column pruning still
+    applies — only (id, payload, media_type) reach Python."""
+    cols = df.select(
+        F.col(id_col).alias("doc_id").cast("long"), "payload", "media_type"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                    "first_byte": payloads.map(
+                        lambda b: int(b[0]) if b is not None and len(b) else -1
+                    ),
+                }
+            )
+
+    return cols.mapInPandas(batches, schema=FEATURE_SCHEMA)

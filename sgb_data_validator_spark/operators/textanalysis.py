@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data curation.
+
+Extends the reference's text handling (which normalizes and flags but
+never scores — transformations.py, validate.py:467-506) with the
+standard corpus-quality battery. Everything is native column
+expressions (regexp_count / split / md5), fully codegen'd, and
+each operator carries a DuckDB oracle in plans/driver_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.dedup import portable_hash
+
+# tiny per-language stopword marker sets for the n-gram/stopword-hit
+# heuristic language classifier (deliberately small + disjoint; real
+# deployments swap in fastText — the Spark shape is identical)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec"],
+    "es": ["el", "la", "los", "que", "es", "con", "para"],
+}
+
+# regex token pattern: word runs OR single non-space punctuation — the
+# BPE-ish pre-tokenizer shape (GPT-2 style, ASCII approximation)
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def _word_set(text: Column) -> Column:
+    return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over the word set."""
+    ws = _word_set(text)
+    return {
+        lang: F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when no
+    marker hits at all. Deterministic tie-break: language code order."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # later entries win only on strictly greater
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("bigint")
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish regex token count (word runs + punctuation singles)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("bigint")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The standard cheap quality signals (Gopher/C4-style filters).
+
+    Ratios are integer basis points (floor((num*10000) div den)) — exact
+    integer arithmetic, so the values are bit-identical across engines
+    (float rounding at half-boundaries is engine-dependent; integers
+    aren't)."""
+    n_chars = F.length(text).cast("bigint")
+    n_words = token_count_ws(text)
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]")).cast("bigint")
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            _word_set(text), F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+        )
+    )
+
+    def bp(num: Column, den: Column) -> Column:
+        return F.floor((num * 10_000) / F.greatest(den, F.lit(1))).cast("bigint")
+
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len_e2": F.floor((n_chars * 100) / F.greatest(n_words, F.lit(1))).cast("bigint"),
+        "alpha_bp": bp(n_alpha, n_chars),
+        "punct_bp": bp(n_punct, n_chars),
+        "stopword_hits": stop_hits.cast("bigint"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 100000] (e5 fixed-point): length
+    band + alpha ratio + has stopwords + low punctuation. Weights are
+    illustrative; the operator contract is the deterministic integer
+    formula, oracle-matched exactly."""
+    f = quality_features(text)
+    length_ok = (f["n_words"] >= 5) & (f["n_words"] <= 10_000)
+    score = (
+        F.when(length_ok, F.lit(40_000)).otherwise(F.lit(0))
+        + f["alpha_bp"] * 3
+        + F.when(f["stopword_hits"] > 0, F.lit(20_000)).otherwise(F.lit(0))
+        + F.when(f["punct_bp"] < 2_000, F.lit(10_000)).otherwise(F.lit(0))
+    )
+    return score.cast("bigint")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-canonicalized text —
+    the exact-dup key for byte-identical-after-normalization docs."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def min_word_hash(text: Column) -> Column:
+    """1-permutation document sketch: min portable word hash — the
+    cheapest rolling-hash-style fingerprint (locality: equal word sets
+    ⇒ equal sketch)."""
+    return F.array_min(F.transform(_word_set(text), lambda w: portable_hash(w)))

@@ -456,6 +456,9 @@ FROM events GROUP BY 1
 """
 
 
+from sgb_data_validator_spark.plans.training_queries import TRAINING_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.transform_queries import TRANSFORM_QUERIES  # noqa: E402
+
 QUERIES: dict[str, tuple] = {
     "row_rules": (q_row_rules, SQL_ROW_RULES),
     "unique": (q_unique, SQL_UNIQUE),
@@ -470,4 +473,6 @@ QUERIES: dict[str, tuple] = {
     "summary": (q_summary, SQL_SUMMARY),
     "pivot": (q_pivot, SQL_PIVOT),
     "verdicts": (q_verdicts, SQL_VERDICTS),
+    **TRAINING_QUERIES,
+    **TRANSFORM_QUERIES,
 }

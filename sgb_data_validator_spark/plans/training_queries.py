@@ -1,0 +1,493 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+multimodal) over the driver testdata, each with a DuckDB SQL oracle.
+
+Portability contract shared by the Spark operators and the generated
+SQL (see operators/dedup.py): shingle hash = bigint(hex(md5[:15])),
+affine permutations mod the 31-bit Mersenne prime, integer-LCG
+hyperplane weights, doubles folded left-to-right, floats rounded at a
+fixed precision on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import dedup as D
+from sgb_data_validator_spark.operators import multimodal as M
+from sgb_data_validator_spark.operators import similarity as S
+from sgb_data_validator_spark.operators import textanalysis as T
+
+# MinHash runs on word-BIGRAM shingles (sequence-sensitive): this
+# corpus's random-pair word-SET Jaccard is already ~0.6 (40-word
+# vocabulary), so set-shingle LSH degenerates to ~all-pairs (measured:
+# 85% of pairs at sf0.001 with the textbook k=16/r=2 parameters), while
+# bigram Jaccard between random docs is ~0.01. Word-set reorder dups
+# are exact_duplicates' job (canonical fingerprint). k=32/r=8/b=4 puts
+# the s-curve threshold at (1/4)^(1/8) ≈ 0.84 with ~97% recall at
+# s = 0.93 (the injected twins).
+K_MINHASH = 32
+BAND_ROWS = 8
+N_PLANES = 8
+DIM = 64
+TWIN_MOD = 25       # every 25th embedding gets an injected scaled twin
+TWIN_OFFSET = 1_000_000
+KNN_QUERY_MOD = 50  # every 50th vector is a query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---- shared SQL fragments ------------------------------------------------
+
+SQL_WORDSET = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+SQL_HASH60 = "(('0x' || substr(md5(g), 1, 15))::BIGINT)"
+P31 = D.MERSENNE_31
+
+TEXT_TWIN_MOD = 13      # every 13th doc gets an appended-suffix twin
+TEXT_TWIN_OFFSET = 1_000_000
+
+# word-BIGRAM shingles joined with unit separator \x1f — sequence-
+# sensitive, well-spread for banding (word-set similarity is handled by
+# the exact/canonical-fingerprint operator)
+SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+SQL_BIGRAMS = (
+    f"SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)), "
+    f"i -> w[i] || chr(31) || w[i+1]))) AS g "
+    f"FROM (SELECT doc_id, {SQL_WORDS} AS w FROM docs_twins)"
+)
+
+SQL_DOCS_TWINS = f"""
+docs_twins AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {TEXT_TWIN_OFFSET}, text || ' near duplicate suffix'
+  FROM documents WHERE doc_id % {TEXT_TWIN_MOD} = 0
+)"""
+
+
+def _docs_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus injected near-dup twins (appended suffix) — the
+    deterministic ground truth for sequence-sensitive near-dup ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % TEXT_TWIN_MOD == 0).select(
+        (F.col("doc_id") + TEXT_TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def _sql_minhash_cte(k: int = K_MINHASH, band_rows: int = BAND_ROWS) -> str:
+    """CTE chain grams → h → sig → bands, mirroring minhash_candidate_pairs."""
+    coeffs = D.permutation_coeffs(k)
+    sig_cols = ", ".join(
+        f"min(({a} * hv + {b}) % {P31}) AS s{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    n_bands = k // band_rows
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{bi}:' || {key} AS band_key FROM sig".format(
+            bi=bi,
+            key=" || ':' || ".join(
+                f"s{bi * band_rows + r}::VARCHAR" for r in range(band_rows)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    return f"""
+{SQL_DOCS_TWINS},
+grams AS ({SQL_BIGRAMS}),
+h AS (SELECT doc_id, ({SQL_HASH60} % {P31}) AS hv FROM grams),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, cast(count(*) AS bigint) AS n_bands
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+# ---- dedup: exact --------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH f AS (
+  SELECT doc_id, md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT fingerprint, cast(count(*) AS bigint) AS group_size, min(doc_id) AS keep
+  FROM f GROUP BY 1 HAVING count(*) > 1
+)
+SELECT 'dedup.exact' AS rule_id, cast(f.doc_id AS varchar) AS doc_id,
+       f.fingerprint, g.group_size, cast(g.keep AS varchar) AS keep_id,
+       f.doc_id <> g.keep AS is_redundant
+FROM f JOIN g USING (fingerprint)
+"""
+
+
+# ---- dedup: minhash LSH --------------------------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_candidate_pairs(
+        _docs_with_twins(spark, sf_dir), "doc_id", "text",
+        k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "n_bands",
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_sql_minhash_cte()}
+SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b, n_bands FROM cand
+"""
+
+
+# ---- dedup: simhash ------------------------------------------------------
+
+def _sql_simhash() -> str:
+    nb = D.SIMHASH_BITS
+    bb = D.SIMHASH_BAND_BITS
+    mask = (1 << bb) - 1
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bs{b}" for b in range(nb)
+    )
+    sim_expr = " + ".join(f"(CASE WHEN bs{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nb))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sim, '{bi}:' || (((sim >> {bi * bb}) & {mask})::VARCHAR) AS band_key FROM sim"
+        for bi in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+{SQL_DOCS_TWINS},
+grams AS ({SQL_BIGRAMS}),
+h AS (SELECT doc_id, {SQL_HASH60} AS hv FROM grams),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, cast({sim_expr} AS bigint) AS sim FROM bits),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(bit_count(xor(a.sim, b.sim)) AS int) AS hamming
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_duplicates(
+        _docs_with_twins(spark, sf_dir), "doc_id", "text", max_hamming=3, shingle_n=2
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_sql_simhash()}
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# ---- dedup: n-gram Jaccard verification ----------------------------------
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-proposes / Jaccard-confirms pipeline: exact word-bigram
+    Jaccard on the minhash candidates, threshold 0.8."""
+    docs = _docs_with_twins(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    )
+    return D.verify_jaccard_pairs(cand, docs, "doc_id", "text", shingle_n=2, threshold=0.8).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "inter",
+        "jaccard",
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {_sql_minhash_cte()},
+gsz AS (SELECT doc_id, count(*) AS n_grams FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY 1),
+gd AS (SELECT DISTINCT doc_id, g FROM grams),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN gd a ON a.doc_id = c.id_a
+  JOIN gd b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT cast(i.id_a AS bigint) AS id_a, cast(i.id_b AS bigint) AS id_b,
+       cast(i.inter AS bigint) AS inter,
+       round(i.inter / cast(sa.n_grams + sb.n_grams - i.inter AS double), 6) AS jaccard
+FROM inter i
+JOIN gsz sa ON sa.doc_id = i.id_a
+JOIN gsz sb ON sb.doc_id = i.id_b
+WHERE round(i.inter / cast(sa.n_grams + sb.n_grams - i.inter AS double), 6) >= 0.8
+"""
+
+
+# ---- dedup: embedding cosine ---------------------------------------------
+
+def _vectors_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings (as double arrays) plus injected scaled twins for every
+    TWIN_MOD-th vector — scaling preserves direction, so each twin is an
+    exact cosine-1.0 near-duplicate of its source."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.where(F.col("vec_id") % TWIN_MOD == 0).select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+SQL_VECTORS_TWINS = f"""
+base AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+alle AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + {TWIN_OFFSET}, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id % {TWIN_MOD} = 0
+)"""
+
+_SQL_PLANE_W = "((1103515245 * (j * 997 + i) + 12345) % 65536) - 32768"
+
+SQL_BUCKETS = f"""
+ex AS (SELECT vec_id, r.i AS i, v[r.i + 1] AS x FROM alle, range({DIM}) r(i)),
+w AS (SELECT rj.j AS j, ri.i AS i, {_SQL_PLANE_W} AS wt
+      FROM range({N_PLANES}) rj(j), range({DIM}) ri(i)),
+dots AS (SELECT vec_id, j, sum(x * wt) AS s FROM ex JOIN w USING (i) GROUP BY 1, 2),
+buck AS (SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS bigint) AS bucket
+         FROM dots GROUP BY 1)"""
+
+SQL_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
+)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors_with_twins(spark, sf_dir)
+    return D.embedding_near_duplicates(vecs, "vec_id", "v", dim=DIM, threshold=0.9).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cos",
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {SQL_VECTORS_TWINS},
+{SQL_BUCKETS},
+eb AS (SELECT a.vec_id, a.v, b.bucket FROM alle a JOIN buck b USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {SQL_COS.format(a="a.v", b="b.v")} AS cos
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {SQL_COS.format(a="a.v", b="b.v")} >= 0.9
+"""
+
+
+# ---- similarity search ---------------------------------------------------
+
+def _query_vectors(vecs: DataFrame) -> DataFrame:
+    return vecs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors_with_twins(spark, sf_dir)
+    return S.knn_bruteforce(_query_vectors(vecs), vecs, "vec_id", "v", k=5)
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH {SQL_VECTORS_TWINS},
+q AS (SELECT vec_id AS query_id, v AS qv FROM alle WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {SQL_COS.format(a="q.qv", b="c.v")} AS cos
+  FROM q CROSS JOIN alle c WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors_with_twins(spark, sf_dir)
+    return S.knn_lsh(_query_vectors(vecs), vecs, "vec_id", "v", dim=DIM, k=5)
+
+
+SQL_KNN_LSH = f"""
+WITH {SQL_VECTORS_TWINS},
+{SQL_BUCKETS},
+eb AS (SELECT a.vec_id, a.v, b.bucket FROM alle a JOIN buck b USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {SQL_COS.format(a="q.qv", b="c.v")} AS cos
+  FROM q JOIN eb c USING (bucket) WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+# ---- text analysis -------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in sorted(T.LANG_MARKERS)],
+    )
+
+
+def _sql_lang_id() -> str:
+    score_cols = ", ".join(
+        "cast(len(list_intersect(ws, [{m}])) AS int) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(T.LANG_MARKERS)
+    )
+    # fold: later languages win only on strictly greater score
+    best_lang, best_score = "'und'", "0"
+    for lang in sorted(T.LANG_MARKERS):
+        best_lang = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"(CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END)"
+    return f"""
+WITH s AS (
+  SELECT doc_id, {score_cols}
+  FROM (SELECT doc_id, {SQL_WORDSET} AS ws FROM documents)
+)
+SELECT cast(doc_id AS bigint) AS doc_id, ({best_lang}) AS lang_pred,
+       {", ".join(f"s_{lang}" for lang in sorted(T.LANG_MARKERS))}
+FROM s
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        f["mean_word_len_e2"].alias("mean_word_len_e2"),
+        f["alpha_bp"].alias("alpha_bp"),
+        f["punct_bp"].alias("punct_bp"),
+        f["stopword_hits"].alias("stopword_hits"),
+        T.quality_score(F.col("text")).alias("score"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+
+SQL_QUALITY_SCORE = f"""
+WITH f AS (
+  SELECT doc_id,
+         cast(length(text) AS bigint) AS n_chars,
+         cast(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint) AS n_words,
+         cast(len(regexp_extract_all(text, '[A-Za-z]')) AS bigint) AS n_alpha,
+         cast(len(regexp_extract_all(text, '[^\\w\\s]')) AS bigint) AS n_punct,
+         cast(len(list_intersect({SQL_WORDSET}, [{_EN}])) AS bigint) AS stopword_hits
+  FROM documents
+),
+bp AS (
+  SELECT doc_id, n_chars, n_words, stopword_hits,
+         cast(floor((n_chars * 100) / cast(greatest(n_words, 1) AS double)) AS bigint) AS mean_word_len_e2,
+         cast(floor((n_alpha * 10000) / cast(greatest(n_chars, 1) AS double)) AS bigint) AS alpha_bp,
+         cast(floor((n_punct * 10000) / cast(greatest(n_chars, 1) AS double)) AS bigint) AS punct_bp
+  FROM f
+)
+SELECT cast(doc_id AS bigint) AS doc_id, n_chars, n_words, mean_word_len_e2,
+       alpha_bp, punct_bp, stopword_hits,
+       cast(
+         (CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 40000 ELSE 0 END)
+         + alpha_bp * 3
+         + (CASE WHEN stopword_hits > 0 THEN 20000 ELSE 0 END)
+         + (CASE WHEN punct_bp < 2000 THEN 10000 ELSE 0 END) AS bigint) AS score
+FROM bp
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        T.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        T.token_count_regex(F.col("text")).alias("n_tokens_regex"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint) AS n_tokens_ws,
+       cast(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS bigint) AS n_tokens_regex
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        T.doc_fingerprint(F.col("text")).alias("fp_md5"),
+        T.min_word_hash(F.col("text")).alias("min_word_hash"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH ws AS (SELECT doc_id, unnest({SQL_WORDSET}) AS g FROM documents),
+mh AS (SELECT doc_id, min({SQL_HASH60}) AS min_word_hash FROM ws GROUP BY 1)
+SELECT cast(d.doc_id AS bigint) AS doc_id,
+       md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp_md5,
+       mh.min_word_hash
+FROM documents d JOIN mh ON mh.doc_id = d.doc_id
+"""
+
+
+# ---- multimodal ----------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(docs, "text"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT cast(doc_id AS bigint) AS doc_id, 'text/plain' AS media_type,
+       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+       md5(text) AS content_md5,
+       cast(ascii(substr(text, 1, 1)) AS int) AS first_byte
+FROM documents
+"""
+
+
+TRAINING_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+}

@@ -1,0 +1,208 @@
+"""Oracle-checked queries for the text-transform pipeline (F1/F6/F7)
+and the full transcript validation pipeline (the flagship, with a SQL
+twin).
+
+The transform oracle mirrors the native codegen chain
+(functions/native.py) with RE2-dialect rewrites of the two
+lookahead regexes (` +(?=\\n)` → consume-the-newline,
+`/+(?=\\s|$)` → capture-the-boundary) — equivalent on all inputs.
+Dirt is injected deterministically by doc_id so the normalization has
+real work to do on this clean corpus. The Python-regex exact-parity
+path (pandas UDFs) is covered separately by the pytest suite against
+the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.functions import native
+
+# ---- text transform pipeline --------------------------------------------
+
+_DIRT_WIKIDATA = " see http://m.wikidata.org/wiki/Q1234 "
+_DIRT_URL_SLASH = " ref https://example.com/// "
+
+
+def _dirty_text() -> F.Column:
+    """Deterministic dirt by doc_id: trailing blanks, tab runs, newline
+    stacks, a mobile wikidata URL, a trailing-slash URL."""
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 3 == 0, F.concat(t, F.lit("   \t  tail   "))).otherwise(t)
+    t = F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("  "), t, F.lit("\n\n\n\n\nend"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit(_DIRT_WIKIDATA))).otherwise(t)
+    t = F.when(F.col("doc_id") % 5 == 1, F.concat(t, F.lit(_DIRT_URL_SLASH))).otherwise(t)
+    return t
+
+
+def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = _dirty_text()
+    out = native.normalize_whitespace(dirty)
+    out = native.normalize_wikidata_url(out)
+    out = native.normalize_urls(out)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), out.alias("text_norm")
+    )
+
+
+# DuckDB mirror of the same chain. chr(9) = tab. Order matters and
+# matches native.normalize_whitespace exactly; `[ - ]` and the
+# unicode translate legs are no-ops on this ASCII corpus and are elided.
+SQL_TEXT_PIPELINE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN text || '   ' || chr(9) || '  tail   '
+           WHEN doc_id % 3 = 1 THEN '  ' || text || repeat(chr(10), 5) || 'end'
+           ELSE text
+         END
+         || CASE WHEN doc_id % 5 = 0 THEN '{_DIRT_WIKIDATA}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 1 THEN '{_DIRT_URL_SLASH}' ELSE '' END AS t
+  FROM documents
+),
+ws AS (
+  SELECT doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(replace(t, chr(9), ' '), ' {{2,}}', ' ', 'g'),
+                 chr(10) || '{{3,}}', chr(10) || chr(10), 'g'),
+               ' +' || chr(10), chr(10), 'g'),
+             '', '', 'g'),
+           ' ' || chr(10)) AS t
+  FROM dirty
+)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       regexp_replace(
+         regexp_replace(t, '(?:https?://)?m\\.wikidata\\.org/wiki/(Q\\d+)',
+                        'https://www.wikidata.org/wiki/\\1', 'g'),
+         '(https?://[^/\\s]+)/+(\\s|$)', '\\1\\2', 'g') AS text_norm
+FROM ws
+"""
+
+
+# ---- full transcript pipeline (flagship with oracle) ----------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup"]
+GHOST_CONV = "u_ghost"
+
+
+def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole engine over a transcript projection of events:
+    row rules + uniqueness + referential (orphans, zero-children,
+    tool vocab) + sequence rules, one violations frame out.
+
+    Portable manifest: conversations = users with user_id % 7 != 0
+    (every 7th user is an orphan), plus one ghost conversation with no
+    turns (zero-children warning)."""
+    from sgb_data_validator_spark.operators import rules as R
+    from sgb_data_validator_spark.plans.pipeline import TranscriptTables, compute_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browser")).alias("tool"),
+        "ts",
+    ).withColumn("part", F.date_format("ts", "yyyy-MM-dd"))
+    convs = (
+        ev.select("user_id").distinct()
+        .where(F.col("user_id") % 7 != 0)
+        .select(F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"))
+        .unionByName(spark.createDataFrame([(GHOST_CONV,)], "conv_id string"))
+    )
+    tools = spark.createDataFrame([("browser", "Browser")], "tool string, label string")
+    rules = R.RowRuleSet().add(
+        R.not_null("text"),
+        R.non_empty("text"),
+        R.in_vocabulary("role", EVENT_TYPES),
+        R.no_url_in_text("text"),
+    )
+    t = TranscriptTables(turns=turns, conversations=convs, allowed_tools=tools)
+    return compute_violations(t, row_rules=rules)
+
+
+_IN_TYPES = ", ".join(repr(x) for x in EVENT_TYPES)
+
+SQL_TRANSCRIPT_PIPELINE = f"""
+WITH turns AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role, props AS text,
+         CASE WHEN event_type = 'click' THEN 'browser' END AS tool,
+         ts, strftime(ts, '%Y-%m-%d') AS part
+  FROM events
+),
+manifest AS (
+  SELECT DISTINCT 'u' || user_id::VARCHAR AS conv_id FROM events WHERE user_id % 7 <> 0
+  UNION ALL SELECT '{GHOST_CONV}'
+),
+base AS (
+  SELECT *, (text IS NOT NULL AND trim(text) <> '') AS parse_ok FROM turns
+),
+dups AS (
+  SELECT conv_id, turn_idx, count(*) AS c FROM turns GROUP BY 1, 2 HAVING count(*) > 1
+),
+seq AS (
+  SELECT conv_id, turn_idx, part, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+  FROM turns
+)
+-- row rules (single-pass family)
+SELECT 'not_null.text' AS rule_id, conv_id, turn_idx, 'text' AS "column",
+       cast(NULL AS varchar) AS offending_value, 'error' AS severity, part
+FROM base WHERE text IS NULL
+UNION ALL
+SELECT 'non_empty.text', conv_id, turn_idx, 'text', substr(text, 1, 80), 'error', part
+FROM base WHERE text IS NOT NULL AND trim(text) = ''
+UNION ALL
+SELECT 'vocab.role', conv_id, turn_idx, 'role', substr(role, 1, 80), 'error', part
+FROM base WHERE parse_ok AND role IS NOT NULL AND role NOT IN ({_IN_TYPES})
+UNION ALL
+SELECT 'url_in_text.text', conv_id, turn_idx, 'text',
+       substr(regexp_extract(text, '(?i)(?:https?://|ftp://|www\\.)[^\\s]+', 0), 1, 80),
+       'warning', part
+FROM base WHERE parse_ok AND text IS NOT NULL
+  AND regexp_matches(text, '(?i)(?:https?://|ftp://|www\\.)[^\\s]+')
+-- uniqueness (salted two-stage in Spark; plain dup-count here)
+UNION ALL
+SELECT 'unique.turn', t.conv_id, t.turn_idx, 'conv_id,turn_idx',
+       'duplicate x' || d.c::VARCHAR, 'error', t.part
+FROM turns t JOIN dups d USING (conv_id, turn_idx)
+-- referential: orphan turns
+UNION ALL
+SELECT 'ref.conv_id', conv_id, turn_idx, 'conv_id', conv_id, 'error', part
+FROM turns t WHERE conv_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM manifest m WHERE m.conv_id = t.conv_id)
+-- referential: zero-children conversations
+UNION ALL
+SELECT 'empty.conversation', m.conv_id, cast(NULL AS int), 'conv_id', m.conv_id,
+       'warning', cast(NULL AS varchar)
+FROM manifest m WHERE NOT EXISTS (SELECT 1 FROM turns t WHERE t.conv_id = m.conv_id)
+-- referential: tool vocabulary
+UNION ALL
+SELECT 'ref.tool', conv_id, turn_idx, 'tool', tool, 'error', part
+FROM turns WHERE tool IS NOT NULL AND tool NOT IN ('browser')
+-- sequence: ts monotonicity
+UNION ALL
+SELECT 'ts.monotonicity', conv_id, turn_idx, 'ts', ts::VARCHAR, 'warning', part
+FROM seq WHERE prev_ts IS NOT NULL AND ts < prev_ts
+-- sequence: turn contiguity
+UNION ALL
+SELECT 'turn.contiguity', conv_id, turn_idx, 'turn_idx', turn_idx::VARCHAR, 'warning', part
+FROM seq WHERE (prev_idx IS NULL AND turn_idx <> 0)
+   OR (prev_idx IS NOT NULL AND turn_idx - prev_idx > 1)
+"""
+
+
+TRANSFORM_QUERIES: dict[str, tuple] = {
+    "text_pipeline": (q_text_pipeline, SQL_TEXT_PIPELINE),
+    "transcript_pipeline": (q_transcript_pipeline, SQL_TRANSCRIPT_PIPELINE),
+}

@@ -1,0 +1,145 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (BASELINE.md §3): run the IDENTICAL validation job on the
+IDENTICAL input at two local parallelism levels (N and 4N cores, fresh
+JVM each) and report validated turns/sec at both plus
+efficiency = tps_4N / (4 × tps_N).
+
+    python tools/scaling_bench.py                 # orchestrate: setup + N + 4N
+    python tools/scaling_bench.py --run 8         # one measured run (internal)
+    SCALING_BENCH_TURNS=10000000                  # fixture size (default 1e7)
+
+The fixture is the deterministic FIXTURES.md generator (Zipf-skewed
+conv_id, all dirt classes) written once as day-partitioned parquet;
+both runs read the same files. The measured job = full violations
+pass (row rules + salted uniqueness + referential + sequence) + the
+per-partition column-stats pass — the complete per-partition validation
+workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA_DIR = os.environ.get("SCALING_BENCH_DIR", os.path.join(REPO, ".bench", "turns10m"))
+N_TURNS = int(os.environ.get("SCALING_BENCH_TURNS", "10000000"))
+CORES_N = int(os.environ.get("SCALING_BENCH_N", "8"))
+CORES_4N = 4 * CORES_N
+
+
+def _session(cores: int):
+    from sgb_data_validator_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def setup() -> None:
+    from sgb_data_validator_spark.sources.generator import FixtureConfig, write_fixture_tables
+
+    if os.path.exists(os.path.join(DATA_DIR, "_meta.json")):
+        return
+    spark = _session(CORES_4N)
+    cfg = FixtureConfig(n_turns=N_TURNS, days=8)
+    t0 = time.perf_counter()
+    write_fixture_tables(spark, cfg, DATA_DIR)
+    n = spark.read.parquet(f"{DATA_DIR}/turns").count()
+    with open(os.path.join(DATA_DIR, "_meta.json"), "w") as fh:
+        json.dump({"rows": n, "gen_sec": round(time.perf_counter() - t0, 1)}, fh)
+    print(f"# generated {n} turns in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    spark.stop()
+
+
+def run_once(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.plans.pipeline import (
+        TranscriptTables,
+        compute_violations,
+        transcript_stats,
+    )
+
+    spark = _session(cores)
+    t = TranscriptTables(
+        turns=spark.read.parquet(f"{DATA_DIR}/turns"),
+        conversations=spark.read.parquet(f"{DATA_DIR}/conversations"),
+        allowed_tools=spark.read.parquet(f"{DATA_DIR}/allowed_tools"),
+        baseline_stats=spark.read.parquet(f"{DATA_DIR}/baseline_stats"),
+    )
+    meta = json.load(open(os.path.join(DATA_DIR, "_meta.json")))
+    # warmup: touch the scan so JVM/codegen startup is out of the timing
+    t.turns.select(F.count(F.lit(1))).collect()
+
+    t0 = time.perf_counter()
+    n_viol = compute_violations(t).count()
+    n_stats = transcript_stats(t.turns).count()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": meta["rows"],
+                "violations": n_viol,
+                "stats_rows": n_stats,
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(meta["rows"] / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def orchestrate() -> None:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+
+    def sub(args: list[str]) -> str:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"subprocess {args} failed")
+        return out.stdout.strip().splitlines()[-1]
+
+    sub(["--setup"])
+    results = {}
+    for cores in (CORES_N, CORES_4N):
+        results[cores] = json.loads(sub(["--run", str(cores)]))
+        print(json.dumps(results[cores]))
+    tps_n = results[CORES_N]["turns_per_sec"]
+    tps_4n = results[CORES_4N]["turns_per_sec"]
+    eff = tps_4n / (4 * tps_n)
+    summary = {
+        "metric": "validated turns/sec at N vs 4N cores, same input",
+        "rows": results[CORES_N]["rows"],
+        "cores_n": CORES_N,
+        "cores_4n": CORES_4N,
+        "turns_per_sec_n": tps_n,
+        "turns_per_sec_4n": tps_4n,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+        json.dump({"summary": summary, "runs": list(results.values())}, fh, indent=2)
+
+
+if __name__ == "__main__":
+    if "--setup" in sys.argv:
+        setup()
+    elif "--run" in sys.argv:
+        run_once(int(sys.argv[sys.argv.index("--run") + 1]))
+    else:
+        orchestrate()
