@@ -79,9 +79,10 @@ def main() -> None:
         try:
             fn(spark, sf_dir).count()
             per_query[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {per_query[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # a broken query must not kill the bench
             per_query[name] = -1.0
-            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+            print(f"# bench error in {name}: {exc}", file=sys.stderr, flush=True)
     total = round(time.perf_counter() - t_total0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -83,7 +83,9 @@ def exact_duplicates(
     payload never moves. Group sizes are Zipf-prone (boilerplate docs),
     so member emission comes from a broadcast join of the (rare)
     duplicate fingerprints back to the fact, not from collect_list."""
-    fp = df.select(F.col(id_col).alias("id"), canonical_fingerprint(F.col(text_col)).alias("fp"))
+    fp = df.select(
+        F.col(id_col).alias("id"), canonical_fingerprint(F.col(text_col)).alias("fp")
+    ).persist()  # referenced twice (agg + member probe): hash the text once
     groups = fp.groupBy("fp").agg(
         F.count(F.lit(1)).alias("group_size"), F.min("id").alias("keep_id")
     ).where(F.col("group_size") > 1)
@@ -102,17 +104,28 @@ def exact_duplicates(
 
 # ---------------------------------------------------------------- minhash
 
+def shingle_hashes(shingles: Column) -> Column:
+    """Portable per-shingle hashes mod p as an array column. Materialize
+    this ONCE (own projection) before fanning out to the k permutations:
+    higher-order lambdas get no common-subexpression elimination, so
+    inlining it into each signature column re-runs the md5 k times per
+    shingle (measured 15× slowdown on the minhash pass)."""
+    return F.transform(shingles, lambda s: portable_hash(s) % MERSENNE_31)
+
+
+def minhash_sig_cols(hvs: Column, k: int) -> list[Column]:
+    """k min-hash signature columns over a materialized hash array —
+    pure integer arithmetic per permutation."""
+    return [
+        F.array_min(F.transform(hvs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_31))
+        for a, b in permutation_coeffs(k)
+    ]
+
+
 def minhash_signature(shingles: Column, k: int = 16) -> list[Column]:
-    """k portable min-hashes of a shingle array — all inside codegen:
-    transform() the array per permutation, array_min the result."""
-    cols = []
-    for a, b in permutation_coeffs(k):
-        hashed = F.transform(
-            shingles,
-            lambda s: (F.lit(a) * (portable_hash(s) % MERSENNE_31) + F.lit(b)) % MERSENNE_31,
-        )
-        cols.append(F.array_min(hashed))
-    return cols
+    """k portable min-hashes of a shingle array (single-expression form;
+    for the multi-column fan-out use shingle_hashes + minhash_sig_cols)."""
+    return minhash_sig_cols(shingle_hashes(shingles), k)
 
 
 def minhash_candidate_pairs(
@@ -132,25 +145,27 @@ def minhash_candidate_pairs(
     cluster size, so cost is Σ cluster², the unavoidable output size.
     Hot buckets (giant boilerplate clusters) would be capped upstream by
     exact dedup running first."""
-    sigs = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        *[
-            s.alias(f"sig{i}")
-            for i, s in enumerate(minhash_signature(word_shingles(F.col(text_col), shingle_n), k))
-        ],
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
     )
+    sigs = hashed.select(
+        "id", *[s.alias(f"sig{i}") for i, s in enumerate(minhash_sig_cols(F.col("hvs"), k))]
+    )
+    # band fan-out via ONE explode (a union of per-band selects would
+    # recompute the whole md5+permutation chain once per band per join
+    # side); the banded frame is tiny (id + band_key) and self-joined,
+    # so persist it — both join sides then read the cache
     n_bands = k // band_rows
-    bands = []
-    for bi in range(n_bands):
-        key = F.concat_ws(
+    keys = [
+        F.concat_ws(
             ":",
             F.lit(str(bi)),
             *[F.col(f"sig{bi * band_rows + r}").cast("string") for r in range(band_rows)],
         )
-        bands.append(sigs.select("id", key.alias("band_key")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+        for bi in range(n_bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*keys)).alias("band_key")).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -167,13 +182,13 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 12 → 4096 buckets per band
 
 
-def simhash48(shingles: Column) -> Column:
-    """48-bit SimHash of a shingle array: bit b set iff the sum over
-    shingles of ±1 (by bit b of the shingle hash) is positive. One
-    aggregate() fold per document — no shuffle at all. 48 bits so the
-    4 blocking bands are 12 bits wide (4096 buckets each): at 10^12
-    docs, band-bucket occupancy stays join-safe, unlike 8-bit bands."""
-    h = F.transform(shingles, lambda s: portable_hash(s))
+def simhash_from_hashes(h: Column) -> Column:
+    """48-bit SimHash from a (materialized) shingle-hash array: bit b
+    set iff the sum over shingles of ±1 (by bit b of the hash) is
+    positive. One aggregate() fold per bit — no shuffle at all. 48 bits
+    so the 4 blocking bands are 12 bits wide (4096 buckets each): at
+    10^12 docs, band-bucket occupancy stays join-safe, unlike 8-bit
+    bands."""
     bit_sums = [
         F.aggregate(
             h,
@@ -186,6 +201,13 @@ def simhash48(shingles: Column) -> Column:
     for b, s in enumerate(bit_sums):
         sim = sim + F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sim
+
+
+def simhash48(shingles: Column) -> Column:
+    """Single-expression SimHash (the 48 bit-folds re-evaluate the md5
+    per bit here — use the materialized two-step form for bulk scans,
+    as simhash_near_duplicates does)."""
+    return simhash_from_hashes(F.transform(shingles, lambda s: portable_hash(s)))
 
 
 def simhash_near_duplicates(
@@ -202,22 +224,24 @@ def simhash_near_duplicates(
     are word bigrams: sequence-sensitive (reorderings are NOT near-dups
     here — the word-set operators catch those) and far better spread
     for the banding."""
-    sims = df.select(
-        F.col(id_col).alias("id"), simhash48(word_shingles(F.col(text_col), shingle_n)).alias("sim")
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: portable_hash(s)).alias("h"),
     )
+    sims = hashed.select("id", simhash_from_hashes(F.col("h")).alias("sim"))
+    # one explode per doc instead of a 4-way union (which would recompute
+    # the 48 bit-folds per band per join side); persist the tiny
+    # (id, sim, band_key) frame for the self-join
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    bands = None
-    for bi in range(SIMHASH_BANDS):
-        piece = sims.select(
-            "id",
-            "sim",
-            F.concat_ws(
-                ":",
-                F.lit(str(bi)),
-                F.shiftright("sim", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).cast("string"),
-            ).alias("band_key"),
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(bi)),
+            F.shiftright("sim", bi * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).cast("string"),
         )
-        bands = piece if bands is None else bands.unionByName(piece)
+        for bi in range(SIMHASH_BANDS)
+    ]
+    bands = sims.select("id", "sim", F.explode(F.array(*keys)).alias("band_key")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
@@ -296,7 +320,7 @@ def verify_jaccard_pairs(
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"),
-    ).distinct()
+    ).distinct().persist()  # referenced three times (sizes + both pair sides)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     p = F.broadcast(pairs.select("id_a", "id_b"))
     ga = grams.select(F.col("id").alias("id_a"), "gram")
@@ -344,17 +368,28 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, computed in double
-    with a deterministic left-to-right fold (oracle-reproducible)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def dot(x: Column, y: Column) -> Column:
+    """Deterministic left-to-right double fold of a dot product
+    (oracle-reproducible: same order ⇒ bit-identical sums)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns. For bulk pair
+    scoring use cosine_with_norms — self-norms belong on the vector,
+    computed once, not re-folded per pair."""
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine given precomputed self-dot-products — same expression
+    shape as cosine() (dot/sqrt(na*nb)) so results are bit-identical,
+    but 3× fewer folds on the pair-scoring hot path."""
+    return dot(a, b) / F.sqrt(na * nb)
 
 
 def embedding_near_duplicates(
@@ -374,6 +409,7 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("nrm"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -381,7 +417,9 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+            F.round(
+                cosine_with_norms(F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")), 4
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sgb_data_validator_spark.operators.dedup import cosine, hyperplane_bucket
+from sgb_data_validator_spark.operators.dedup import (
+    cosine_with_norms,
+    dot,
+    hyperplane_bucket,
+)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -48,13 +52,23 @@ def knn_bruteforce(
     shuffle is the (|queries|·|corpus| → |queries|·k) top-k window over
     the scored pairs, keyed by query_id."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
+    )
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        F.round(
+            cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 4
+        ).alias("cos"),
     )
     return _topk(scored, k)
 
@@ -76,11 +90,13 @@ def knn_lsh(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.join(c, "bucket")
@@ -88,7 +104,9 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+            F.round(
+                cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 4
+            ).alias("cos"),
         )
     )
     return _topk(scored, k)

@@ -69,8 +69,16 @@ docs_twins AS (
 
 def _docs_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents plus injected near-dup twins (appended suffix) — the
-    deterministic ground truth for sequence-sensitive near-dup ops."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    deterministic ground truth for sequence-sensitive near-dup ops.
+
+    The testdata is one small parquet file ⇒ one scan partition; the
+    interpreted hashing work downstream needs all cores, so spread it
+    (a real corpus arrives with natural scan parallelism)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     twins = docs.where(F.col("doc_id") % TEXT_TWIN_MOD == 0).select(
         (F.col("doc_id") + TEXT_TWIN_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
@@ -110,7 +118,8 @@ cand AS (
 # ---- dedup: exact --------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return D.exact_duplicates(docs, "doc_id", "text")
 
 
 SQL_DEDUP_EXACT = f"""
@@ -236,9 +245,13 @@ def _vectors_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings (as double arrays) plus injected scaled twins for every
     TWIN_MOD-th vector — scaling preserves direction, so each twin is an
     exact cosine-1.0 near-duplicate of its source."""
-    base = _t(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     twins = base.where(F.col("vec_id") % TWIN_MOD == 0).select(
         (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),

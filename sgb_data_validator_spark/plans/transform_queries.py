@@ -202,7 +202,113 @@ FROM seq WHERE (prev_idx IS NULL AND turn_idx <> 0)
 """
 
 
+# ---- fuzzy dimension match (J5 analog) ------------------------------------
+
+FUZZY_THRESHOLD_BP = 6_000
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 fuzzy match of a dirtied label against the source dimension
+    (reference DOI enrichment shape: broadcast dim × fact → score →
+    window top-1 → threshold; transformations.py:611-690)."""
+    from sgb_data_validator_spark.operators.fuzzy import fuzzy_best_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fact = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(F.col("source"), F.lit("-x"), F.col("doc_id") % 10).alias("label"),
+    )
+    dim = docs.select(F.col("source").alias("dim_key")).distinct().withColumn(
+        "dim_text", F.col("dim_key")
+    )
+    return fuzzy_best_match(
+        fact, dim, "doc_id", "label", "dim_key", "dim_text", threshold_bp=FUZZY_THRESHOLD_BP
+    ).select(F.col("fact_key").cast("bigint").alias("fact_key"), "dim_key", "sim_bp")
+
+
+SQL_FUZZY_MATCH = f"""
+WITH dim AS (SELECT DISTINCT source AS dim_key, lower(trim(source)) AS dim_text FROM documents),
+f AS (
+  SELECT doc_id AS fact_key,
+         lower(trim(source || '-x' || (doc_id % 10)::VARCHAR)) AS fact_text
+  FROM documents
+),
+scored AS (
+  SELECT fact_key, dim_key,
+         cast(10000 - floor((levenshtein(fact_text, dim_text) * 10000)
+                            / cast(greatest(length(fact_text), length(dim_text), 1) AS double))
+              AS bigint) AS sim_bp
+  FROM f CROSS JOIN dim
+),
+ranked AS (
+  SELECT fact_key, dim_key, sim_bp,
+         row_number() OVER (PARTITION BY fact_key ORDER BY sim_bp DESC, dim_key ASC) AS rn
+  FROM scored
+)
+SELECT cast(fact_key AS bigint) AS fact_key, dim_key, sim_bp
+FROM ranked WHERE rn = 1 AND sim_bp >= {FUZZY_THRESHOLD_BP}
+"""
+
+
+# ---- hierarchical prefix membership (J3 analog) ---------------------------
+
+HIER_VOCAB = ["src1", "src2", "src5"]
+
+
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-chain membership: a code is valid iff any prefix is in the
+    vocabulary (Iconclass semantics, iconclass.py:54-99) — pure codegen
+    prefix expansion + arrays_overlap, no join."""
+    from sgb_data_validator_spark.operators.fuzzy import hierarchical_membership_violations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hierarchical_membership_violations(docs, "doc_id", "source", HIER_VOCAB)
+
+
+_HIER = ", ".join(f"'{v}'" for v in HIER_VOCAB)
+
+SQL_HIERARCHY = f"""
+SELECT 'hierarchy.code' AS rule_id, cast(doc_id AS varchar) AS doc_id,
+       'source' AS "column", substr(source, 1, 80) AS offending_value,
+       'error' AS severity
+FROM documents
+WHERE source IS NOT NULL
+  AND NOT list_has_any(
+        list_transform(range(1, length(source) + 1), i -> substr(source, 1, i)),
+        [{_HIER}])
+"""
+
+
+# ---- QID extraction (F11) -------------------------------------------------
+
+def q_qid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_wikidata_qids over text with injected QIDs; output sorted
+    so the dedup order convention cancels out across engines."""
+    from sgb_data_validator_spark.functions.native import extract_wikidata_qids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = F.concat(
+        F.col("text"), F.lit(" Q42 see Q42 and Q"), (F.col("doc_id") % 100)
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_sort(extract_wikidata_qids(injected)).alias("qids"),
+    )
+
+
+SQL_QID_EXTRACT = """
+SELECT cast(doc_id AS bigint) AS doc_id,
+       list_sort(list_distinct(
+         regexp_extract_all(text || ' Q42 see Q42 and Q' || (doc_id % 100)::VARCHAR,
+                            '\\bQ\\d+\\b'))) AS qids
+FROM documents
+"""
+
+
 TRANSFORM_QUERIES: dict[str, tuple] = {
     "text_pipeline": (q_text_pipeline, SQL_TEXT_PIPELINE),
     "transcript_pipeline": (q_transcript_pipeline, SQL_TRANSCRIPT_PIPELINE),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
+    "hierarchy": (q_hierarchy, SQL_HIERARCHY),
+    "qid_extract": (q_qid_extract, SQL_QID_EXTRACT),
 }

@@ -1,0 +1,38 @@
+"""The spark-submit job entry: full run → exit code + sinks + ledger,
+then a --resume run that skips PASSED partitions."""
+
+from jobs.validate import parse_args, run
+from sgb_data_validator_spark.sources.generator import FixtureConfig, write_fixture_tables
+from sgb_data_validator_spark.sources.ledger import Ledger
+
+
+def test_job_run_and_resume(spark, tmp_path):
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=1500), f"{base}/fx")
+    argv = [
+        "--turns", f"{base}/fx/turns",
+        "--conversations", f"{base}/fx/conversations",
+        "--allowed-tools", f"{base}/fx/allowed_tools",
+        "--baseline-stats", f"{base}/fx/baseline_stats",
+        "--out", f"{base}/report",
+        "--ledger", f"{base}/ledger",
+    ]
+    rc = run(spark, parse_args(argv))
+    assert rc == 1  # dirt ⇒ errors ⇒ reference exit-code contract
+
+    verdicts = spark.read.parquet(f"{base}/report/verdicts")
+    statuses = {r.part: r.status for r in verdicts.collect()}
+    assert statuses["2026-01-05"] == "PASSED"
+    assert any(s == "FAILED" for s in statuses.values())
+
+    led = Ledger(spark, f"{base}/ledger")
+    latest = {r.part: r for r in led.latest().collect()}
+    assert set(latest) == set(statuses)
+    assert all(r.rows_per_sec > 0 and r.stats_digest for r in latest.values())
+
+    # resume: day 0 (PASSED) must be skipped, failed days revalidated
+    rc2 = run(spark, parse_args(argv + ["--resume"]))
+    assert rc2 == 1
+    verdicts2 = {r.part for r in spark.read.parquet(f"{base}/report/verdicts").collect()}
+    assert "2026-01-05" not in verdicts2
+    assert verdicts2 == {p for p, s in statuses.items() if s == "FAILED"}
