@@ -1,0 +1,115 @@
+"""Structured Streaming incremental validation.
+
+The reference is batch-only; its "incremental" behavior is resumable
+file-based stages (workflow.py:35-349), which the batch engine covers
+with the partition ledger. This module adds the genuinely streaming
+path for transcript tables that land continuously: the same row rules,
+evaluated per micro-batch, with watermarked windowed verdicts and
+streaming uniqueness enforcement.
+
+Design notes:
+* Row rules are STATELESS (one projection) — the exact batch plan runs
+  unchanged on a streaming DataFrame; rule parity with batch is by
+  construction, not reimplementation.
+* Verdicts need aggregation state: a watermark bounds it, and 1-day
+  tumbling windows mirror the batch day-partitions. Append output mode
+  emits each day's verdict once its watermark passes — late data within
+  the allowed lateness still counts.
+* Uniqueness on (conv_id, turn_idx) uses dropDuplicatesWithinWatermark:
+  state is bounded by the watermark horizon, matching the batch salted
+  aggregation's semantics for in-horizon duplicates.
+* ``trigger(availableNow=True)`` gives batch-incremental runs (process
+  everything new, then stop) — the streaming analog of the ledger's
+  resume, with exactly-once sinks via the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import rules as R
+from sgb_data_validator_spark.plans.pipeline import transcript_row_rules
+
+TURN_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, part string"
+)
+
+
+def stream_turns(spark: SparkSession, path: str, schema: str = TURN_SCHEMA) -> DataFrame:
+    """File-source stream of turn rows (parquet dropped into ``path``).
+    On a real deployment this is Kafka or an Iceberg streaming read;
+    only this reader line changes."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_row_violations(turns: DataFrame, rules: R.RowRuleSet | None = None) -> DataFrame:
+    """The batch single-pass multi-rule projection, applied to a stream —
+    stateless, so the plan is literally the batch plan per micro-batch."""
+    return (rules or transcript_row_rules()).violations(turns)
+
+
+def stream_windowed_verdicts(
+    turns: DataFrame,
+    rules: R.RowRuleSet | None = None,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window error/warning counts + status with bounded state.
+
+    Mirrors batch ``compute_verdicts`` semantics on event-time windows:
+    a turn contributes to error_count iff any error-severity rule fires
+    for it (warnings likewise)."""
+    rs = rules or transcript_row_rules()
+    gate = rs.parse_ok(turns)
+    err = F.lit(False)
+    warn = F.lit(False)
+    for r in rs.rules:
+        pred = F.coalesce(r.predicate(turns), F.lit(False))
+        if r.gated:
+            pred = pred & gate
+        if r.severity == R.SEV_ERROR:
+            err = err | pred
+        else:
+            warn = warn | pred
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.sum(err.cast("long")).alias("error_count"),
+            F.sum(warn.cast("long")).alias("warning_count"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("part"),
+            "error_count",
+            "warning_count",
+            "rows",
+            F.when(F.col("error_count") > 0, F.lit("FAILED")).otherwise(F.lit("PASSED")).alias("status"),
+        )
+    )
+
+
+def stream_deduplicated_turns(turns: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming uniqueness enforcement on (conv_id, turn_idx): state is
+    bounded by the watermark horizon (the batch analog flags all-time
+    duplicates via the salted aggregation; a stream can only promise
+    in-horizon dedup)."""
+    return turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def run_available_now(df: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"):
+    """Batch-incremental execution: process all currently-available input,
+    write parquet exactly-once via the checkpoint, stop. Re-invoking
+    later picks up only new files — the streaming resume story."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

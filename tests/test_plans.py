@@ -59,12 +59,28 @@ def test_partition_pruning(spark, turns_parquet):
     assert "PartitionFilters" in plan and "2026-01-05" in plan
 
 
-def test_uniqueness_agg_is_two_stage_salted(spark, turns_parquet):
+def test_uniqueness_count_is_two_stage(spark, turns_parquet):
+    # default path: Spark's built-in partial+final HashAggregate pair is
+    # the salted repartition-and-count (salt = physical input partition)
     turns = spark.read.parquet(turns_parquet)
     plan = plan_of(duplicate_key_counts(turns, ["conv_id", "turn_idx"]))
-    assert "SPARK_PARTITION_ID" in plan.upper()
-    # two aggregation layers: partial (keys+salt) then final (keys)
-    assert plan.count("HashAggregate") >= 4  # partial+final × 2 stages
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2     # partial then final
+    assert tree.count("Exchange") == 1          # exactly one shuffle
+    # explicit-salt variant (for no-combine aggs) really salts
+    salted = plan_of(duplicate_key_counts(turns, ["conv_id", "turn_idx"], explicit_salt=True))
+    assert "SPARK_PARTITION_ID" in salted.upper()
+
+
+def test_uniqueness_members_single_narrow_shuffle(spark, turns_parquet):
+    from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
+
+    turns = spark.read.parquet(turns_parquet)
+    plan = plan_of(uniqueness_violations(turns))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1          # one shuffle, no join stage
+    assert "Join" not in tree and "Broadcast" not in tree
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]  # payload never shuffles
 
 
 def test_whole_stage_codegen_row_rules(spark, turns_parquet):

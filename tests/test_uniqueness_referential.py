@@ -30,8 +30,11 @@ def test_duplicate_counts_salted_two_stage(spark):
     ).repartition(4)
     got = {(r.conv_id, r.turn_idx): r.dup_count for r in duplicate_key_counts(df, ["conv_id", "turn_idx"]).collect()}
     assert got == {("h", 0): 10, ("h", 1): 10, ("h", 2): 10}
-    # plan shape: two aggregation stages over the salt
-    plan = duplicate_key_counts(df, ["conv_id", "turn_idx"])._jdf.queryExecution().optimizedPlan().toString()
+    # explicit-salt variant (for no-combine aggs) gives identical counts
+    # through the manual two-stage plan
+    salted = duplicate_key_counts(df, ["conv_id", "turn_idx"], explicit_salt=True)
+    assert {(r.conv_id, r.turn_idx): r.dup_count for r in salted.collect()} == got
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") >= 2
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
 

@@ -79,18 +79,27 @@ def run_once(cores: int) -> None:
     # warmup: touch the scan so JVM/codegen startup is out of the timing
     t.turns.select(F.count(F.lit(1))).collect()
 
-    t0 = time.perf_counter()
-    n_viol = compute_violations(t).count()
-    n_stats = transcript_stats(t.turns).count()
-    wall = time.perf_counter() - t0
+    # best-of-3: this sandbox is a shared host (load-average noise from
+    # neighbors), so a single wall measurement can be off by 2×; the
+    # minimum is the closest estimate of the job's intrinsic cost
+    walls, counts = [], None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_viol = compute_violations(t).count()
+        n_stats = transcript_stats(t.turns).count()
+        walls.append(time.perf_counter() - t0)
+        counts = (n_viol, n_stats)
+    wall = min(walls)
     print(
         json.dumps(
             {
                 "cores": cores,
                 "rows": meta["rows"],
-                "violations": n_viol,
-                "stats_rows": n_stats,
+                "violations": counts[0],
+                "stats_rows": counts[1],
                 "wall_sec": round(wall, 2),
+                "wall_all": [round(w, 2) for w in walls],
+                "loadavg": round(os.getloadavg()[0], 1),
                 "turns_per_sec": round(meta["rows"] / wall, 1),
             }
         )
@@ -110,7 +119,8 @@ def orchestrate() -> None:
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
             raise SystemExit(f"subprocess {args} failed")
-        return out.stdout.strip().splitlines()[-1]
+        lines = out.stdout.strip().splitlines()
+        return lines[-1] if lines else ""
 
     sub(["--setup"])
     results = {}
