@@ -73,6 +73,84 @@ def knn_bruteforce(
     return _topk(scored, k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Coarse quantization: map every vector to its nearest centroid
+    (max rounded cosine, centroid-id tiebreak — rounding + tiebreak keep
+    the argmax reproducible across engines/fold orders). Centroids are a
+    broadcast dim, so assignment is a broadcast nested-loop over the
+    partitioned fact — no shuffle of the vectors."""
+    scored = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_n"),
+    ).crossJoin(centroids).select(
+        out_id,
+        "_v",
+        "cid",
+        F.round(
+            cosine_with_norms(F.col("_v"), F.col("cv"), F.col("_n"), F.col("cn")), 4
+        ).alias("_acos"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("_acos"), F.asc("cid"))
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") == 1)
+        .select(out_id, "_v", "cid")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_mod: int,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic sample of the corpus
+    (every ``cent_mod``-th id) acts as the coarse centroid set; each
+    vector is assigned to its nearest centroid cell and queries probe
+    only their own cell (nprobe=1). The cell equi-join is a plain hash
+    join — like :func:`knn_lsh` this survives |queries| ~ |corpus|, but
+    cells adapt to the data distribution where hyperplane buckets are
+    data-oblivious. Real IVF trains centroids with k-means; the sampled
+    quantizer keeps the operator deterministic for oracle parity and is
+    the standard bootstrap when training is out of scope."""
+    cent = F.broadcast(
+        corpus.where(F.col(id_col) % cent_mod == 0).select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
+        )
+    )
+    q = ivf_assign(queries, cent, id_col, vec_col, "query_id").withColumnRenamed("_v", "qvec")
+    c = ivf_assign(corpus, cent, id_col, vec_col, "neighbor_id").withColumnRenamed("_v", "cvec")
+    scored = (
+        q.join(c, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"),
+                    F.col("cvec"),
+                    dot(F.col("qvec"), F.col("qvec")),
+                    dot(F.col("cvec"), F.col("cvec")),
+                ),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

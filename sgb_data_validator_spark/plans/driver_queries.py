@@ -476,3 +476,7 @@ QUERIES: dict[str, tuple] = {
     **TRAINING_QUERIES,
     **TRANSFORM_QUERIES,
 }
+
+from sgb_data_validator_spark.plans.extra_queries import EXTRA_QUERIES  # noqa: E402
+
+QUERIES.update(EXTRA_QUERIES)

@@ -37,7 +37,17 @@ def _session(cores: int):
     from sgb_data_validator_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"scaling-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+        app_name=f"scaling-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            # enough splits for full waves at the highest core count
+            # (default 128 MB over a ~5 GB fixture gives 32 cores a
+            # ragged 1.3-wave scan)
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SCALING_BENCH_SPLIT", str(32 * 1024 * 1024)
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -83,7 +93,7 @@ def run_once(cores: int) -> None:
     # neighbors), so a single wall measurement can be off by 2×; the
     # minimum is the closest estimate of the job's intrinsic cost
     walls, counts = [], None
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SCALING_BENCH_REPEATS", "3"))):
         t0 = time.perf_counter()
         n_viol = compute_violations(t).count()
         n_stats = transcript_stats(t.turns).count()
@@ -111,10 +121,19 @@ def orchestrate() -> None:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
 
-    def sub(args: list[str]) -> str:
+    def sub(args: list[str], cpus: int | None = None) -> str:
+        # Pin measured runs to exactly `cpus` CPUs: local[N] only caps TASK
+        # slots — GC, netty shuffle, parquet reader, and Python worker
+        # threads would otherwise spill onto the host's idle cores and
+        # inflate the small-N baseline. An N-core cluster node has N CPUs
+        # total, so the affinity mask is the faithful simulation. The JVM
+        # sizes its GC/thread pools from the mask (availableProcessors
+        # respects sched_getaffinity).
+        cmd = [sys.executable, os.path.abspath(__file__), *args]
+        if cpus is not None and os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}", *cmd]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *args],
-            env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
+            cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=3600,
         )
         if out.returncode != 0:
             sys.stderr.write(out.stderr[-4000:])
@@ -125,7 +144,7 @@ def orchestrate() -> None:
     sub(["--setup"])
     results = {}
     for cores in (CORES_N, CORES_4N):
-        results[cores] = json.loads(sub(["--run", str(cores)]))
+        results[cores] = json.loads(sub(["--run", str(cores)], cpus=cores))
         print(json.dumps(results[cores]))
     tps_n = results[CORES_N]["turns_per_sec"]
     tps_4n = results[CORES_4N]["turns_per_sec"]
