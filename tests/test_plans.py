@@ -94,3 +94,27 @@ def test_whole_stage_codegen_row_rules(spark, turns_parquet):
     # all four rules ride ONE scan of the fact table (count in the plan
     # tree only — the formatted detail section repeats node names)
     assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_rollup_is_single_pass(spark):
+    """A6 rollup: subtotals come from ONE Expand + one partial/final
+    aggregate pair with a single exchange — not one scan per grouping
+    set."""
+    from sgb_data_validator_spark.plans.extra_queries import q_rollup_summary
+
+    plan = q_rollup_summary(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF: centroid assignment must be a broadcast nested-loop (tiny
+    centroid dim against the partitioned corpus), and the cell join an
+    equi-join — never a broadcast of a corpus-sized side."""
+    from sgb_data_validator_spark.plans.extra_queries import q_knn_ivf
+
+    plan = q_knn_ivf(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # queries + corpus assignment
+    cell_joins = [l for l in plan.splitlines() if "Join [cid" in l]
+    assert cell_joins and all("Broadcast" not in l for l in cell_joins)
