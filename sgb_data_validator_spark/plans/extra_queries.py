@@ -171,6 +171,32 @@ GROUP BY ROLLUP(part, event_type)
 """
 
 
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cube counterpart: all four grouping sets — (source × lang),
+    per-source, per-lang, grand total — still one Expand + one aggregate
+    pass. Documents' source/lang are low-cardinality, so the Expand
+    fan-out (4× rows into a partial aggregate) collapses map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n",
+        )
+    )
+
+
+SQL_CUBE_SUMMARY = """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       cast(count(*) AS bigint) AS n
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
 # ------------------------------------------------------- run diff (W6)
 
 def q_run_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,5 +343,6 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "run_diff": (q_run_diff, SQL_RUN_DIFF),
     "migrate_idmap": (q_migrate_idmap, SQL_MIGRATE_IDMAP),
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
+    "cube_summary": (q_cube_summary, SQL_CUBE_SUMMARY),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
 }
