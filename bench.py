@@ -72,6 +72,7 @@ def main() -> None:
         pass
 
     per_query: dict[str, float] = {}
+    errors: list[str] = []
     t_total0 = time.perf_counter()
     for name in names:
         fn = queries[name]
@@ -80,8 +81,9 @@ def main() -> None:
             fn(spark, sf_dir).count()
             per_query[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {per_query[name]}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # a broken query must not kill the bench
+        except Exception as exc:  # a broken query must not kill the bench...
             per_query[name] = -1.0
+            errors.append(name)
             print(f"# bench error in {name}: {exc}", file=sys.stderr, flush=True)
     total = round(time.perf_counter() - t_total0, 3)
 
@@ -90,19 +92,24 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # ...but it must not be able to IMPROVE the metric either: failures
+    # null the headline value and fail the process (round-1 ADVICE)
     print(
         json.dumps(
             {
                 "metric": "total wall seconds for all headline validation queries",
-                "value": total,
+                "value": None if errors else total,
                 "unit": "sec",
                 "queries": per_query,
+                "errors": errors,
                 "sf": sf_val,
                 "cpus": int(cpus),
             }
         )
     )
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -93,6 +93,19 @@ def extract_wikidata_qids(col: Column) -> Column:
     return F.array_distinct(F.regexp_extract_all(col, F.lit(r"\bQ\d+\b"), 0))
 
 
+def transform_literal_only(
+    value: Column, type_col: Column, transform: "Column | None" = None
+) -> Column:
+    """F9 (transformations.py:466-498 transform_property_value): apply a
+    normalization only where the property type is 'literal' — URI/other
+    rows pass through untouched. ``transform`` is the already-built
+    transformed column (defaults to :func:`text_pipeline` of ``value``);
+    packaging the conditional keeps the literal-gate semantics in one
+    place instead of ad-hoc F.when at every call site."""
+    transformed = text_pipeline(value) if transform is None else transform
+    return F.when(type_col == "literal", transformed).otherwise(value)
+
+
 def text_pipeline(col: Column, exact_unicode: bool = True) -> Column:
     """F8 ordered composition (transformations.py:423-464), offline form:
     entities → NFC → whitespace → abbreviations → markdown → wikidata →

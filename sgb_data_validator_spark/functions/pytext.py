@@ -168,3 +168,110 @@ def normalize_name(name: str | None) -> str:
     if not name:
         return ""
     return (apply_text_transformations(name) or "").lower()
+
+
+# --- J5: fuzzy-match scorer (exact-parity path) -----------------------------
+
+_DASHES = str.maketrans({"–": "-", "—": "-", "−": "-"})
+_COMBINING = re.compile("[̀-ͯ]")
+_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+_WS = re.compile(r"\s+")
+
+#: the reference's domain stopword patterns (transformations.py:543-557)
+_MATCH_STOPWORDS = [
+    re.compile(r"\(hg[.,:]?\)|\bhg[.,:]?"),
+    re.compile(r"\bstadt\.?geschichte\.?basel\b"),
+    re.compile(r"\bbasel\b|\bbd\.?\b|\bband\b"),
+]
+
+
+def normalize_match_text(text: str | None, stopwords: list[re.Pattern] | None = None) -> str:
+    """Normalization for fuzzy title matching, reference parity
+    (transformations.py:543-557): NFKC+lower, dash unification, NFKD +
+    combining-mark strip (de-diacritic), domain stopword removal,
+    alnum-only word soup."""
+    if not text:
+        return ""
+    text = unicodedata.normalize("NFKC", text).lower().translate(_DASHES)
+    text = unicodedata.normalize("NFKD", text)
+    text = _COMBINING.sub("", text)
+    text = text.replace("chr.", "chr")
+    for pat in _MATCH_STOPWORDS if stopwords is None else stopwords:
+        text = pat.sub(" ", text)
+    text = _NON_ALNUM.sub(" ", text)
+    return _WS.sub(" ", text).strip()
+
+
+def partial_ratio(needle: str, haystack: str) -> float:
+    """How much of ``needle`` appears within ``haystack`` — directional
+    sliding-window SequenceMatcher, reference parity
+    (transformations.py:565-583). Directionality is load-bearing: a
+    haystack shorter than the needle cannot contain it and scores low
+    (the reference added this to kill a documented short-citation false
+    positive)."""
+    from difflib import SequenceMatcher
+
+    if not needle or not haystack:
+        return 0.0
+    if needle in haystack:
+        return 1.0
+    window = len(needle)
+    best = 0.0
+    for i in range(0, max(len(haystack) - window + 1, 1)):
+        score = SequenceMatcher(None, needle, haystack[i : i + window]).ratio()
+        if score > best:
+            best = score
+    return best
+
+
+# --- J3: Iconclass parts (exact-parity path) --------------------------------
+
+_ICONCLASS_CHARSET = re.compile(r"^[0-9A-Zq()+\s.]*$")
+_ICONCLASS_SPLIT = re.compile(r"(\(.+?\))")
+
+
+def iconclass_parts(notation: str) -> list[str]:
+    """Hierarchical expansion of an Iconclass notation — exact parity
+    with the reference splitter (/root/reference/src/iconclass.py:64-99,
+    golden cases test/test_iconclass.py): char-prefixes for base
+    segments, ``(...)`` placeholder + literal part per parenthetical
+    qualifier, incremental keys for ``(+XYZ)`` additions. This is the
+    ground truth for the exotic inputs (unclosed parens etc.) the native
+    ``operators.iconclass`` path gates out; wrap in a pandas UDF for
+    bulk exact-parity scans."""
+    parts: list[str] = []
+    last = ""
+    for seg in _ICONCLASS_SPLIT.split(notation):
+        if not seg:
+            continue
+        if seg.startswith("(+"):
+            base = last + "(+"
+            for ch in seg[2:]:
+                if ch != ")":
+                    parts.append(base + ch + ")")
+                    base += ch
+            if parts:
+                last = parts[-1]
+        elif seg.startswith("(") and seg.endswith(")"):
+            if seg != "(...)":
+                parts.append(last + "(...)")
+            parts.append(last + seg)
+            last = parts[-1]
+        else:
+            for ch in seg:
+                parts.append(last + ch)
+                last = parts[-1]
+    return parts
+
+
+def iconclass_is_valid(notation: str | None, vocabulary: set[str]) -> bool:
+    """Format gate + hierarchical membership, reference semantics
+    (vocabularies.py:57-87): any part in the vocabulary, or the notation
+    starts with any vocabulary code."""
+    if not notation or not notation.strip():
+        return False
+    if not _ICONCLASS_CHARSET.match(notation):
+        return False
+    if any(p in vocabulary for p in iconclass_parts(notation)):
+        return True
+    return any(notation.startswith(code) for code in vocabulary)

@@ -76,21 +76,25 @@ def canonical_fingerprint(text: Column) -> Column:
 def exact_duplicates(
     df: DataFrame, id_col: str, text_col: str, rule_id: str = "dedup.exact"
 ) -> DataFrame:
-    """Hash-groupBy exact dedup: one violation row per member of every
-    duplicate group, carrying group size and the canonical id kept.
+    """Exact dedup via count-over-window: one violation row per member of
+    every duplicate group, carrying group size and the canonical id kept.
 
-    Scale shape: shuffles (fingerprint, id) pairs only — the 100 TB text
-    payload never moves. Group sizes are Zipf-prone (boilerplate docs),
-    so member emission comes from a broadcast join of the (rare)
-    duplicate fingerprints back to the fact, not from collect_list."""
+    Scale shape: ONE narrow shuffle of (fingerprint, id) pairs — the
+    100 TB text payload never moves, and group size + keep-id come from
+    window aggregates over the same fingerprint partitioning, so there is
+    no second pass, no join, and (unlike the round-1 broadcast-join form)
+    no O(duplicate-docs) broadcast that grows unboundedly with corpus
+    dirt. Mirrors uniqueness_violations' design (operators/uniqueness.py)."""
+    from pyspark.sql import Window
+
     fp = df.select(
         F.col(id_col).alias("id"), canonical_fingerprint(F.col(text_col)).alias("fp")
-    ).persist()  # referenced twice (agg + member probe): hash the text once
-    groups = fp.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("group_size"), F.min("id").alias("keep_id")
-    ).where(F.col("group_size") > 1)
+    )
+    w = Window.partitionBy("fp")
     return (
-        fp.join(F.broadcast(groups), "fp")
+        fp.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep_id", F.min("id").over(w))
+        .where(F.col("group_size") > 1)
         .select(
             F.lit(rule_id).alias("rule_id"),
             F.col("id").cast("string").alias("doc_id"),
@@ -148,7 +152,11 @@ def minhash_candidate_pairs(
     hashed = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
-    )
+    ).where(F.size("hvs") > 0)
+    # shingle-less docs (empty / fewer than n words) are dropped BEFORE
+    # banding: array_min over an empty array is null and concat_ws skips
+    # nulls, so every such doc would otherwise share every band key —
+    # one giant bucket and a quadratic self-join on a real corpus
     sigs = hashed.select(
         "id", *[s.alias(f"sig{i}") for i, s in enumerate(minhash_sig_cols(F.col("hvs"), k))]
     )
@@ -227,7 +235,10 @@ def simhash_near_duplicates(
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: portable_hash(s)).alias("h"),
-    )
+    ).where(F.size("h") > 0)
+    # same guard as minhash_candidate_pairs: docs with no shingles all
+    # sketch to sim=0 (every bit-sum is 0 ⇒ not > 0) and would pairwise
+    # collide at hamming 0 — drop them before banding
     sims = hashed.select("id", simhash_from_hashes(F.col("h")).alias("sim"))
     # one explode per doc instead of a 4-way union (which would recompute
     # the 48 bit-folds per band per join side); persist the tiny

@@ -22,6 +22,7 @@ Reference analogs:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +66,54 @@ def fuzzy_best_match(
         scored.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("sim_bp") >= threshold_bp))
         .select("fact_key", "dim_key", "sim_bp")
+    )
+
+
+def fuzzy_best_match_exact(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_text: str,
+    dim_key: str,
+    dim_text: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact-parity variant of :func:`fuzzy_best_match`: the reference's
+    directional sliding-window SequenceMatcher partial-ratio with
+    NFKC/diacritic/stopword normalization
+    (/root/reference/src/transformations.py:543-583), as an
+    Arrow-batched pandas UDF over the SAME plan shape (broadcast dim ×
+    fact → score → top-1 window → threshold). Use when the documented
+    false-positive class the reference engineered against matters;
+    the native Levenshtein path stays the oracle-checkable default."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sgb_data_validator_spark.functions.pytext import (
+        normalize_match_text,
+        partial_ratio,
+    )
+
+    @pandas_udf("double")
+    def _score(needle: pd.Series, haystack: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                partial_ratio(normalize_match_text(n), normalize_match_text(h))
+                for n, h in zip(needle, haystack)
+            ]
+        )
+
+    f = fact.select(F.col(fact_key).alias("fact_key"), F.col(fact_text).alias("_ft"))
+    d = F.broadcast(
+        dim.select(F.col(dim_key).alias("dim_key"), F.col(dim_text).alias("_dt"))
+    )
+    scored = f.crossJoin(d).select(
+        "fact_key", "dim_key", F.round(_score(F.col("_dt"), F.col("_ft")), 6).alias("score")
+    )
+    w = Window.partitionBy("fact_key").orderBy(F.desc("score"), F.asc("dim_key"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("score") >= threshold))
+        .select("fact_key", "dim_key", "score")
     )
 
 

@@ -53,6 +53,38 @@ def orphan_violations(
     )
 
 
+def propagate_private_flag(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    parent_flag: str = "is_public",
+    child_flag: str = "is_public",
+) -> DataFrame:
+    """Child→parent privacy propagation (J4's second half): a parent
+    becomes private iff ANY child is private; a missing/null child flag
+    counts as public; childless parents keep their own flag. Reference
+    semantics: propagate_private_flag_to_items
+    (/root/reference/src/transformations.py:853-908 — dict of
+    item_id → has_private_media, flags only ever flip public→private).
+
+    Scale shape: children reduce to one boolean per parent key via a
+    partial-aggregated groupBy (map-side combine absorbs hot parents —
+    min() is combinable), then a key-only join back to parents; the
+    child payload never moves. Output: the parent frame plus
+    ``effective_<parent_flag>``."""
+    child_pub = (
+        children.where(F.col(child_fk).isNotNull())
+        .groupBy(F.col(child_fk).alias("__pk"))
+        .agg(F.min(F.coalesce(F.col(child_flag), F.lit(True))).alias("__children_public"))
+    )
+    joined = parents.join(child_pub, parents[parent_key] == F.col("__pk"), "left")
+    return joined.withColumn(
+        f"effective_{parent_flag}",
+        F.col(parent_flag) & F.coalesce(F.col("__children_public"), F.lit(True)),
+    ).drop("__pk", "__children_public")
+
+
 def zero_children_violations(
     dim: DataFrame,
     fact: DataFrame,

@@ -78,12 +78,14 @@ def non_empty(column: str, severity: str = SEV_ERROR, rule_id: str | None = None
 
 
 def type_conformance(column: str, spark_type: str, severity: str = SEV_ERROR) -> RowRule:
-    """Value present but not castable to the declared type (P1 residual)."""
+    """Value present but not castable to the declared type (P1 residual).
+    try_cast, not cast — under ANSI mode (Spark 4 default) a plain cast
+    throws on malformed input instead of yielding null."""
     return RowRule(
         rule_id=f"type.{column}",
         column=column,
         severity=severity,
-        predicate=lambda df: df[column].isNotNull() & df[column].cast(spark_type).isNull(),
+        predicate=lambda df: df[column].isNotNull() & df[column].try_cast(spark_type).isNull(),
         parse_level=True,
     )
 

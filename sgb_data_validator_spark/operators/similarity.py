@@ -82,26 +82,41 @@ def ivf_assign(
 ) -> DataFrame:
     """Coarse quantization: map every vector to its nearest centroid
     (max rounded cosine, centroid-id tiebreak — rounding + tiebreak keep
-    the argmax reproducible across engines/fold orders). Centroids are a
-    broadcast dim, so assignment is a broadcast nested-loop over the
-    partitioned fact — no shuffle of the vectors."""
-    scored = df.select(
+    the argmax reproducible across engines/fold orders).
+
+    The centroid set is collapsed to a one-row array and broadcast, and
+    the argmax is a per-row ``aggregate`` fold inside a single codegen
+    projection — ZERO shuffle of the fact. (The round-1 form took the
+    argmax with ``row_number().over(partitionBy(vec_id))``, which
+    exchanged |corpus| × |centroids| scored rows — a 4000×-row shuffle
+    at 4k centroids; the fold needs none.) Output carries the vector and
+    its self-norm so downstream pair scoring never re-folds norms."""
+    cid_type = dict(centroids.dtypes)["cid"]
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents")
+        )
+    )
+    base = df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias("_v"),
         dot(F.col(vec_col), F.col(vec_col)).alias("_n"),
-    ).crossJoin(centroids).select(
-        out_id,
-        "_v",
-        "cid",
-        F.round(
-            cosine_with_norms(F.col("_v"), F.col("cv"), F.col("_n"), F.col("cn")), 4
-        ).alias("_acos"),
+    ).crossJoin(cent_arr)
+
+    def _fold(acc, c):
+        score = F.round(cosine_with_norms(F.col("_v"), c["cv"], F.col("_n"), c["cn"]), 4)
+        better = (score > acc["s"]) | (
+            (score == acc["s"]) & (acc["cid"].isNull() | (c["cid"] < acc["cid"]))
+        )
+        return F.when(
+            better, F.struct(score.alias("s"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-2.0).alias("s"), F.lit(None).cast(cid_type).alias("cid")
     )
-    w = Window.partitionBy(out_id).orderBy(F.desc("_acos"), F.asc("cid"))
-    return (
-        scored.withColumn("_rnk", F.row_number().over(w))
-        .where(F.col("_rnk") == 1)
-        .select(out_id, "_v", "cid")
+    return base.select(
+        out_id, "_v", "_n", F.aggregate(F.col("_cents"), init, _fold)["cid"].alias("cid")
     )
 
 
@@ -122,29 +137,30 @@ def knn_ivf(
     data-oblivious. Real IVF trains centroids with k-means; the sampled
     quantizer keeps the operator deterministic for oracle parity and is
     the standard bootstrap when training is out of scope."""
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) % cent_mod == 0).select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cv"),
-            dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
-        )
+    cent = corpus.where(F.col(id_col) % cent_mod == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
     )
-    q = ivf_assign(queries, cent, id_col, vec_col, "query_id").withColumnRenamed("_v", "qvec")
-    c = ivf_assign(corpus, cent, id_col, vec_col, "neighbor_id").withColumnRenamed("_v", "cvec")
+    q = (
+        ivf_assign(queries, cent, id_col, vec_col, "query_id")
+        .withColumnRenamed("_v", "qvec")
+        .withColumnRenamed("_n", "qn")
+    )
+    c = (
+        ivf_assign(corpus, cent, id_col, vec_col, "neighbor_id")
+        .withColumnRenamed("_v", "cvec")
+        .withColumnRenamed("_n", "cn")
+    )
     scored = (
         q.join(c, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
+            # norms carried through ivf_assign — no per-pair re-fold
             F.round(
-                cosine_with_norms(
-                    F.col("qvec"),
-                    F.col("cvec"),
-                    dot(F.col("qvec"), F.col("qvec")),
-                    dot(F.col("cvec"), F.col("cvec")),
-                ),
-                4,
+                cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")), 4
             ).alias("cos"),
         )
     )

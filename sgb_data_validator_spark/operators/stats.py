@@ -82,6 +82,37 @@ def column_stats(
     )
 
 
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    part_col: str | None = "part",
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column per partition — the
+    profiling histogram the reference emits per column
+    (/root/reference/src/profiling.py:57-83), and the shared input shape
+    of the χ² drift check (operators.drift.ts_chi_square).
+
+    One groupBy((part, bin)) with map-side partial aggregation — the
+    bin-assignment projection is pure codegen, values below/above the
+    range clamp to the edge bins (bin 0 / bin n_bins-1)."""
+    width = (hi - lo) / n_bins
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    group = ([F.col(part_col)] if part_col else []) + [bin_col.alias("bin")]
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*group)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def stats_digest(stats: DataFrame) -> DataFrame:
     """Deterministic per-partition digest over the stats rows (→ ledger)."""
     canon = F.concat_ws(

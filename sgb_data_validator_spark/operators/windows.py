@@ -52,18 +52,26 @@ def sequence_violations(
     base = slim.select("*", chunk_of.alias("_chunk"), F.lit(False).alias("_carry"))
     # the LAST row of each chunk (max turn_idx, not just the dense
     # boundary index — exact lag semantics even when the boundary row is
-    # missing) rides along as the next chunk's lead-in; max-of-struct is
-    # a partial-combined aggregation, so the hot conversation costs
-    # nothing extra here
+    # missing) rides along as the lead-in of the NEXT CHUNK THAT HAS
+    # ROWS — found with lead() over the per-chunk summary frame (one row
+    # per (conv, chunk): 10^12 turns / 32768 ≈ 3·10^7 rows, negligible).
+    # Routing to chunk+1 unconditionally (the round-1 form) lost the
+    # carry whenever a turn_idx gap spanned a whole chunk, silently
+    # missing a ts regression across that boundary (ADVICE r1).
+    # max-of-struct is a partial-combined aggregation, so the hot
+    # conversation costs nothing extra here.
+    cw = Window.partitionBy("conv_id").orderBy("_chunk")
     carry = (
         slim.groupBy("conv_id", chunk_of.alias("_chunk"))
         .agg(F.max(F.struct("turn_idx", "ts", "part")).alias("_m"))
+        .withColumn("_next", F.lead("_chunk").over(cw))
+        .where(F.col("_next").isNotNull())
         .select(
             "conv_id",
             F.col("_m.turn_idx").alias("turn_idx"),
             F.col("_m.ts").alias("ts"),
             F.col("_m.part").alias("part"),
-            (F.col("_chunk") + 1).alias("_chunk"),
+            F.col("_next").alias("_chunk"),
             F.lit(True).alias("_carry"),
         )
     )

@@ -1,0 +1,308 @@
+"""Round-2 coverage queries: the reference semantics the round-1 verdict
+flagged as missing or untested, each oracle-checked.
+
+* iso639_lang        — the full 184-code ISO 639-1 vocabulary
+                       (vocab/iso639.py; reference src/iso639.py:9-196,
+                       case-insensitive membership iso639.py:199-223).
+* iconclass_hierarchy— full Iconclass parts semantics: (+X) incremental
+                       keys and (...) placeholders
+                       (operators/iconclass.py; reference
+                       src/iconclass.py:64-99, vocabularies.py:57-87).
+* private_flags      — child→parent privacy propagation
+                       (operators/referential.py:propagate_private_flag;
+                       reference src/transformations.py:853-908).
+* row_rules_extra    — the two round-1 dead rules wired and oracle-
+                       checked: type_conformance (P1, reference
+                       models.py:49-197) and not_contains placeholder
+                       flag (P7, transformations.py:807-825).
+* histogram          — fixed-width per-partition column histogram (A4
+                       residual; reference profiling.py:57-83).
+* json_cols          — from_json column extraction over the events
+                       props JSON payload (F16 residual; reference JSON
+                       handling api.py:228-257).
+
+Same oracle-parity conventions as plans.driver_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import rules as R
+from sgb_data_validator_spark.operators.iconclass import iconclass_violations
+from sgb_data_validator_spark.operators.referential import propagate_private_flag
+from sgb_data_validator_spark.operators.stats import column_histogram
+from sgb_data_validator_spark.vocab import ISO_639_1_CODES
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------- ISO 639-1 (J2)
+
+def q_iso639_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive ISO 639-1 membership over documents.lang with
+    deterministic dirt: every 5th doc upper-cased (valid), doc%5==1 an
+    invalid 2-letter code, doc%5==2 a 3-letter code (ISO 639-2, invalid
+    here). The 184-code set rides as a codegen'd InSet — no join."""
+    docs = _t(spark, sf_dir, "documents")
+    lang2 = (
+        F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("lang")))
+        .when(F.col("doc_id") % 5 == 1, F.lit("xx"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("gsw"))
+        .otherwise(F.col("lang"))
+    )
+    rules = R.RowRuleSet().add(
+        R.in_vocabulary(
+            "lang2", sorted(ISO_639_1_CODES), case_insensitive=True, rule_id="iso639.lang"
+        )
+    )
+    return rules.violations(
+        docs.withColumn("lang2", lang2), key_cols=("doc_id",), part_col=None
+    )
+
+
+_ISO_LIST = ", ".join(f"'{c}'" for c in sorted(ISO_639_1_CODES))
+
+SQL_ISO639_LANG = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 0 THEN upper(lang)
+           WHEN doc_id % 5 = 1 THEN 'xx'
+           WHEN doc_id % 5 = 2 THEN 'gsw'
+           ELSE lang
+         END AS lang2
+  FROM documents
+)
+SELECT 'iso639.lang' AS rule_id, cast(doc_id AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'lang2' AS "column",
+       substr(lang2, 1, 80) AS offending_value, 'error' AS severity,
+       cast(NULL AS varchar) AS part
+FROM d
+WHERE lang2 IS NOT NULL AND lower(lang2) NOT IN ({_ISO_LIST})
+"""
+
+
+# ---------------------------------------------------- Iconclass (J3 full)
+
+ICONCLASS_VOCAB = ["11H(...)", "25F23", "11H(+3)"]
+
+#: doc_id % 8 → notation; classes 0/4 fail membership, 5/6 fail format,
+#: 1 proves the (...) placeholder, 2 the incremental (+X) keys, 3 the
+#: startswith fallback, 7 a literal placeholder notation.
+_ICONCLASS_CASES = [
+    "11H",            # 0: no vocab prefix, no specials  → member violation
+    "11H(JEROME)",    # 1: special '11H(...)' ∈ vocab    → valid
+    "11H(+31)",       # 2: special '11H(+3)' ∈ vocab     → valid
+    "25F23(DOG)",     # 3: startswith '25F23'            → valid
+    "11H(+4)",        # 4: no proper-prefix keys         → member violation
+    "11H@",           # 5: invalid character             → format violation
+    "11H(",           # 6: unbalanced paren              → format violation
+    "11H(...)",       # 7: startswith '11H(...)'         → valid
+]
+
+
+def q_iconclass_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    code = F.element_at(
+        F.array(*[F.lit(c) for c in _ICONCLASS_CASES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return iconclass_violations(
+        docs.withColumn("code", code), "doc_id", "code", ICONCLASS_VOCAB
+    )
+
+
+_IC_VOCAB_SQL = "[" + ", ".join(f"'{v}'" for v in ICONCLASS_VOCAB) + "]"
+_IC_CASES_SQL = "[" + ", ".join(f"'{c}'" for c in _ICONCLASS_CASES) + "]"
+
+# DuckDB twin of operators.iconclass: sentinel-split the code into
+# segments, expand placeholder/plus-key specials against the literal
+# prefix before each parenthetical, then membership = startswith-any OR
+# specials-overlap (see the operator docstring for why this equals the
+# reference's parts semantics).
+SQL_ICONCLASS_HIERARCHY = f"""
+WITH d AS (
+  SELECT doc_id, ({_IC_CASES_SQL})[cast(doc_id % 8 AS int) + 1] AS code
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, code,
+         list_filter(
+           string_split(replace(replace(code, '(', chr(31) || '('),
+                                ')', ')' || chr(31)), chr(31)),
+           x -> x <> '') AS segs,
+         (regexp_matches(code, '^[0-9A-Zq()+\\s.]+$')
+          AND trim(code) <> ''
+          AND regexp_matches(code, '^[^()]*(\\([^()]*\\)[^()]*)*$')) AS format_ok
+  FROM d
+),
+sp AS (
+  SELECT doc_id, code, format_ok,
+         flatten(list_transform(range(1, len(segs) + 1), i ->
+           CASE
+             WHEN starts_with(list_extract(segs, i), '(+') THEN
+               list_transform(range(1, length(list_extract(segs, i)) - 3), j ->
+                 array_to_string(segs[1:i-1], '') || '(+' ||
+                 substr(list_extract(segs, i), 3, j) || ')')
+             WHEN starts_with(list_extract(segs, i), '(')
+                  AND list_extract(segs, i) <> '(...)' THEN
+               [array_to_string(segs[1:i-1], '') || '(...)']
+             ELSE []
+           END)) AS specials
+  FROM seg
+),
+v AS (
+  SELECT doc_id, code, format_ok,
+         (len(list_filter({_IC_VOCAB_SQL}, vc -> starts_with(code, vc))) > 0
+          OR len(list_filter(specials, s -> list_contains({_IC_VOCAB_SQL}, s))) > 0)
+           AS member_ok
+  FROM sp
+)
+SELECT CASE WHEN NOT format_ok THEN 'iconclass.format'
+            ELSE 'iconclass.member' END AS rule_id,
+       cast(doc_id AS varchar) AS doc_id, 'code' AS "column",
+       substr(code, 1, 80) AS offending_value, 'error' AS severity
+FROM v WHERE NOT format_ok OR NOT member_ok
+"""
+
+
+# -------------------------------------- private-flag propagation (J4 full)
+
+def q_private_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders are 'public' unless status F; a lineitem child is private
+    when returnflag R. Propagation: any private child ⇒ parent private
+    (childless parents keep their own flag)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderstatus") != "F").alias("is_public")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") != "R").alias("is_public")
+    )
+    out = propagate_private_flag(orders, li, "o_orderkey", "l_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "is_public",
+        "effective_is_public",
+    )
+
+
+SQL_PRIVATE_FLAGS = """
+WITH child AS (
+  SELECT l_orderkey, min(coalesce(l_returnflag <> 'R', true)) AS children_public
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+)
+SELECT cast(o_orderkey AS bigint) AS o_orderkey,
+       (o_orderstatus <> 'F') AS is_public,
+       ((o_orderstatus <> 'F') AND coalesce(children_public, true))
+         AS effective_is_public
+FROM orders LEFT JOIN child ON o_orderkey = l_orderkey
+"""
+
+
+# --------------------------------------------- dead rules wired (P1 / P7)
+
+def q_row_rules_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """type_conformance + not_contains over events: every 11th event's
+    value is string-corrupted (not castable back to double ⇒ P1 error);
+    props payloads containing the '"k": 9' fragment are flagged as
+    placeholder-style content (P7 warning, gated on the type rule per
+    the parse-ok short-circuit)."""
+    ev = _t(spark, sf_dir, "events")
+    value_str = F.when(
+        F.col("event_id") % 11 == 0,
+        F.concat(F.lit("v"), F.col("value").cast("string")),
+    ).otherwise(F.col("value").cast("string"))
+    rules = R.RowRuleSet().add(
+        R.type_conformance("value_str", "double"),
+        R.not_contains("props", '"k": 9'),
+    )
+    return rules.violations(
+        ev.withColumn("value_str", value_str), key_cols=("event_id",), part_col=None
+    )
+
+
+SQL_ROW_RULES_EXTRA = """
+WITH base AS (
+  SELECT event_id, props,
+         CASE WHEN event_id % 11 = 0 THEN 'v' || cast(value AS varchar)
+              ELSE cast(value AS varchar) END AS value_str
+  FROM events
+),
+b AS (
+  SELECT *,
+         (value_str IS NOT NULL AND try_cast(value_str AS double) IS NULL)
+           AS type_bad
+  FROM base
+)
+SELECT 'type.value_str' AS rule_id, cast(event_id AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'value_str' AS "column",
+       substr(value_str, 1, 80) AS offending_value, 'error' AS severity,
+       cast(NULL AS varchar) AS part
+FROM b WHERE type_bad
+UNION ALL
+SELECT 'contains.props', cast(event_id AS varchar), cast(NULL AS int), 'props',
+       substr(props, 1, 80), 'warning', cast(NULL AS varchar)
+FROM b WHERE NOT type_bad AND props IS NOT NULL
+  AND contains(lower(props), '"k": 9')
+"""
+
+
+# -------------------------------------------------------- histogram (A4)
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin fixed-width histogram of l_quantity per returnflag."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("part", F.col("l_returnflag"))
+    return column_histogram(li, "l_quantity", lo=0.0, hi=50.0, n_bins=10).select(
+        "part", F.col("bin").cast("int").alias("bin"), "n"
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT l_returnflag AS part,
+       cast(least(greatest(floor(cast(l_quantity AS double) / 5.0), 0), 9) AS int) AS bin,
+       cast(count(*) AS bigint) AS n
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- JSON column ops (F16)
+
+def q_json_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the props payload (explicit schema — no inference
+    pass), aggregate the extracted field, and prove to_json round-trips
+    by counting re-serialized distinct payloads."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json(F.col("props"), "k int")["k"])
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        # null-guard: Spark's to_json omits null fields ('{}') while the
+        # SQL twin's concat yields NULL — align on NULL for missing k
+        F.countDistinct(
+            F.when(F.col("k").isNotNull(), F.to_json(F.struct(F.col("k"))))
+        ).cast("bigint").alias("n_payloads"),
+    )
+
+
+SQL_JSON_COLS = """
+SELECT event_type, cast(count(*) AS bigint) AS n,
+       cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
+       cast(count(DISTINCT '{"k":' || json_extract_string(props, '$.k') || '}')
+            AS bigint) AS n_payloads
+FROM events GROUP BY event_type
+"""
+
+
+COVERAGE_QUERIES: dict[str, tuple] = {
+    "iso639_lang": (q_iso639_lang, SQL_ISO639_LANG),
+    "iconclass_hierarchy": (q_iconclass_hierarchy, SQL_ICONCLASS_HIERARCHY),
+    "private_flags": (q_private_flags, SQL_PRIVATE_FLAGS),
+    "row_rules_extra": (q_row_rules_extra, SQL_ROW_RULES_EXTRA),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "json_cols": (q_json_cols, SQL_JSON_COLS),
+}

@@ -315,8 +315,15 @@ GROUP BY p.part
 
 def q_ts_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 lag-based monotonicity: events per user ordered by event_id must
-    have non-decreasing ts (clean data ⇒ empty result is the assertion)."""
-    ev = _t(spark, sf_dir, "events")
+    have non-decreasing ts. The fixture is clean, so deterministic dirt is
+    injected (every 97th event's ts rewound 3 days) — the round-1 driver
+    row was green-but-vacuous on an empty result."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 97 == 0, F.col("ts") - F.expr("INTERVAL 3 DAYS")
+        ).otherwise(F.col("ts")),
+    )
     w = Window.partitionBy("user_id").orderBy("event_id")
     return (
         ev.withColumn("_prev", F.lag("ts").over(w))
@@ -330,10 +337,15 @@ def q_ts_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TS_MONOTONICITY = """
-WITH w AS (
+WITH dirty AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 3 DAY ELSE ts END AS ts
+  FROM events
+),
+w AS (
   SELECT user_id, event_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS _prev
-  FROM events
+  FROM dirty
 )
 SELECT 'ts.monotonicity' AS rule_id, cast(user_id AS varchar) AS conv_id,
        cast(event_id AS bigint) AS event_id
@@ -378,13 +390,28 @@ FROM g WHERE min_ln <> 1 OR max_ln <> n_distinct OR n_rows <> n_distinct
 
 # ---------------------------------------------------------------- reports
 
+#: (applicationId, sf_dir) → persisted violations frame. q_summary and
+#: q_pivot both consume the full violations union; without this memo each
+#: of them re-evaluated all four rule families from scratch (8 family
+#: evaluations, ~4 extra fact scans per report pass — the two slowest
+#: non-dedup queries in BENCH_r01). The frame is small (violation rows,
+#: not facts), so persisting it is safe.
+_VIOLATIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VIOLATIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    v = (
         q_row_rules(spark, sf_dir)
         .unionByName(q_unique(spark, sf_dir))
         .unionByName(q_ref_orphans(spark, sf_dir))
         .unionByName(q_zero_children(spark, sf_dir))
-    )
+    ).persist()
+    _VIOLATIONS_CACHE[key] = v
+    return v
 
 
 _SQL_ALL_VIOLATIONS = " UNION ALL ".join(
@@ -478,5 +505,7 @@ QUERIES: dict[str, tuple] = {
 }
 
 from sgb_data_validator_spark.plans.extra_queries import EXTRA_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.coverage_queries import COVERAGE_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
+QUERIES.update(COVERAGE_QUERIES)

@@ -250,7 +250,10 @@ def q_migrate_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # summed exactly as decimal (order-independent), surfaced as
+            # double: the driver canonicalizer hashes Spark Decimal cells
+            # and DuckDB float cells differently (round-1 hash miss)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -262,7 +265,7 @@ WITH idmap AS (
   FROM orders
 )
 SELECT new_id, cast(count(*) AS bigint) AS n_lines,
-       cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
 FROM lineitem JOIN idmap ON l_orderkey = o_orderkey
 GROUP BY new_id
 """
@@ -286,13 +289,15 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(tmp)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+        # exact decimal sum, surfaced as double (same driver-hash
+        # rationale as migrate_idmap's sum_qty)
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 
 SQL_JSON_ROUNDTRIP = """
 SELECT event_type, cast(count(*) AS bigint) AS n,
-       cast(sum(cast(value AS decimal(18,6))) AS decimal(18,6)) AS sum_value
+       cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
 FROM events GROUP BY event_type
 """
 

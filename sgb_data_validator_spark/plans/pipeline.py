@@ -161,7 +161,9 @@ def pivot_report(violations: DataFrame, rule_ids: list[str] | None = None) -> Da
     explicit rule_id list skips the extra distinct-scan Spark needs to
     discover pivot values."""
     p = violations.groupBy("conv_id", "turn_idx").pivot("rule_id", rule_ids)
-    return p.agg(F.first("offending_value")).orderBy("conv_id", "turn_idx")
+    # max(), not first(): first() is nondeterministic under parallel
+    # execution when a (resource, rule) pair has several violations
+    return p.agg(F.max("offending_value")).orderBy("conv_id", "turn_idx")
 
 
 def digest_for_ledger(result: ValidationResult) -> DataFrame:

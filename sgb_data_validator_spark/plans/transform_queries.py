@@ -283,7 +283,9 @@ WHERE source IS NOT NULL
 
 def q_qid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_wikidata_qids over text with injected QIDs; output sorted
-    so the dedup order convention cancels out across engines."""
+    then comma-joined to a flat string — the driver's pandas-based
+    canonicalizer cannot hash array cells (round-1 gate failure), and a
+    joined string carries the identical information."""
     from sgb_data_validator_spark.functions.native import extract_wikidata_qids
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -292,15 +294,15 @@ def q_qid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.array_sort(extract_wikidata_qids(injected)).alias("qids"),
+        F.array_join(F.array_sort(extract_wikidata_qids(injected)), ",").alias("qids"),
     )
 
 
 SQL_QID_EXTRACT = """
 SELECT cast(doc_id AS bigint) AS doc_id,
-       list_sort(list_distinct(
+       array_to_string(list_sort(list_distinct(
          regexp_extract_all(text || ' Q42 see Q42 and Q' || (doc_id % 100)::VARCHAR,
-                            '\\bQ\\d+\\b'))) AS qids
+                            '\\bQ\\d+\\b'))), ',') AS qids
 FROM documents
 """
 

@@ -29,12 +29,27 @@ from sgb_data_validator_spark.plans.pipeline import (
 )
 
 
+# every partitioned parquet sink overwrites DYNAMICALLY: a --resume run
+# that revalidates only the pending partitions must augment the
+# queryable report, not truncate the PASSED partitions written earlier
+# (on Iceberg this is the overwrite-by-partition commit). ADVICE r1.
+
 def write_violations(violations: DataFrame, path: str, mode: str = "overwrite") -> None:
-    violations.write.mode(mode).partitionBy("part").parquet(path)
+    (
+        violations.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(path)
+    )
 
 
 def write_verdicts(verdicts: DataFrame, path: str, mode: str = "overwrite") -> None:
-    verdicts.write.mode(mode).parquet(path)
+    (
+        verdicts.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(path)
+    )
 
 
 def write_summary_csv(violations: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -48,13 +63,20 @@ def write_pivot_csv(
 
 
 def write_stats(stats: DataFrame, path: str, mode: str = "overwrite") -> None:
-    stats.write.mode(mode).parquet(path)
+    (
+        stats.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(path)
+    )
 
 
 def write_all(result: ValidationResult, base: str) -> None:
     """The full report fan-out of a validation run (reference
     validate.py:1180-1189 writes console+txt+csv+profiling; here each
-    artifact is a path under ``base``)."""
+    artifact is a path under ``base``). The parquet sinks are
+    per-partition (resume-safe, dynamic overwrite); the two CSVs are
+    THIS run's console-report analogs and are replaced wholesale."""
     write_violations(result.violations, f"{base}/violations")
     write_verdicts(result.verdicts, f"{base}/verdicts")
     write_summary_csv(result.violations, f"{base}/summary_csv")

@@ -1,0 +1,229 @@
+"""Round-2 coverage operators: ISO 639-1 vocabulary, full Iconclass
+parts semantics (golden cases mirror the reference's
+test/test_iconclass.py behaviors), private-flag propagation, the
+empty-shingle LSH guard, and the previously-unexercised normalize_name.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.functions.pytext import (
+    iconclass_is_valid,
+    iconclass_parts,
+    normalize_name,
+)
+from sgb_data_validator_spark.operators.iconclass import iconclass_violations
+from sgb_data_validator_spark.operators.referential import propagate_private_flag
+from sgb_data_validator_spark.vocab import ISO_639_1_CODES
+
+
+def test_iso639_exact_count_and_membership():
+    # reference parity: exactly 184 two-letter codes
+    # (/root/reference/test/test_iso639.py:106)
+    assert len(ISO_639_1_CODES) == 184
+    assert all(len(c) == 2 and c.islower() for c in ISO_639_1_CODES)
+    for c in ("en", "de", "fr", "zh", "rm"):
+        assert c in ISO_639_1_CODES
+    for c in ("xx", "q", "eng"):
+        assert c not in ISO_639_1_CODES
+
+
+# --- Iconclass: pure-Python parts (exact reference parity) ---------------
+
+def test_iconclass_parts_basic():
+    assert iconclass_parts("11H") == ["1", "11", "11H"]
+    p = iconclass_parts("25F23")
+    for expect in ("2", "25", "25F", "25F2", "25F23"):
+        assert expect in p
+
+
+def test_iconclass_parts_parenthetical():
+    p = iconclass_parts("25F23(DOG)")
+    assert "25F23" in p and "25F23(...)" in p and "25F23(DOG)" in p
+
+
+def test_iconclass_parts_plus_keys():
+    p = iconclass_parts("11H(+31)")
+    assert "11H(+3)" in p and "11H(+31)" in p
+    # complex: qualifier then key
+    p = iconclass_parts("11H(JEROME)(+3)")
+    for expect in ("11H", "11H(...)", "11H(JEROME)", "11H(JEROME)(+3)"):
+        assert expect in p
+
+
+def test_iconclass_parts_placeholder_literal():
+    # a literal (...) group adds itself once, no duplicate placeholder
+    p = iconclass_parts("11H(...)")
+    assert p.count("11H(...)") == 1
+
+
+def test_iconclass_is_valid_python():
+    vocab = {"11H(...)", "25F23", "11H(+3)"}
+    assert iconclass_is_valid("11H(JEROME)", vocab)       # placeholder
+    assert iconclass_is_valid("11H(+31)", vocab)          # incremental key
+    assert iconclass_is_valid("25F23(DOG)", vocab)        # startswith
+    assert not iconclass_is_valid("11H", vocab)
+    assert not iconclass_is_valid("11H@", vocab)          # charset
+    assert not iconclass_is_valid("", vocab)
+    assert not iconclass_is_valid(None, vocab)
+
+
+# --- Iconclass: native operator parity with the Python path --------------
+
+NATIVE_CASES = [
+    "11H", "11H(JEROME)", "11H(+31)", "25F23(DOG)", "11H(+4)",
+    "11H@", "11H(...)", "25F23", "11Hq", "11 H", "11.H",
+    "11H(JEROME)(+3)", "1", "(DOG)", "(+3)",
+]
+
+
+def test_iconclass_native_matches_python(spark):
+    vocab = ["11H(...)", "25F23", "11H(+3)"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(NATIVE_CASES)], "id int, code string"
+    )
+    flagged = {
+        r["doc_id"]
+        for r in iconclass_violations(df, "id", "code", vocab).collect()
+    }
+    for i, c in enumerate(NATIVE_CASES):
+        expect_bad = not iconclass_is_valid(c, set(vocab))
+        assert (str(i) in flagged) == expect_bad, f"case {c!r}"
+
+
+def test_iconclass_native_rule_split(spark):
+    vocab = ["11H"]
+    df = spark.createDataFrame(
+        [(1, "11H@"), (2, "99"), (3, "11H(")], "id int, code string"
+    )
+    rows = {r["doc_id"]: r["rule_id"] for r in iconclass_violations(df, "id", "code", vocab).collect()}
+    assert rows["1"] == "iconclass.format"
+    assert rows["2"] == "iconclass.member"
+    # unbalanced parens: outside the native grammar -> format violation
+    # (documented divergence; the Python path is the exotic-input oracle)
+    assert rows["3"] == "iconclass.format"
+
+
+# --- private-flag propagation -------------------------------------------
+
+def test_propagate_private_flag(spark):
+    parents = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, True)], "pid int, is_public boolean"
+    )
+    children = spark.createDataFrame(
+        [(1, True), (1, False),   # one private child -> parent private
+         (2, True), (2, None),    # null child flag counts as public
+         (3, True)],              # private parent stays private
+        "fk int, is_public boolean",
+    )
+    out = {
+        r["pid"]: r["effective_is_public"]
+        for r in propagate_private_flag(parents, children, "pid", "fk").collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True}  # 4: childless
+
+
+# --- empty-shingle LSH guard (advisor finding) ---------------------------
+
+def test_minhash_simhash_drop_shingleless_docs(spark):
+    from sgb_data_validator_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_near_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, ""), (4, "the quick brown fox"),
+         (5, "the quick brown fox")],
+        "id int, text string",
+    )
+    # bigram shingles: docs 1-3 have none and must NOT appear as pairs
+    mh = minhash_candidate_pairs(df, "id", "text", shingle_n=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(4, 5)}
+    sh = simhash_near_duplicates(df, "id", "text", shingle_n=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(4, 5)}
+
+
+# --- F9: literal-only conditional transform ------------------------------
+
+def test_transform_literal_only(spark):
+    from sgb_data_validator_spark.functions.native import (
+        normalize_whitespace,
+        transform_literal_only,
+    )
+
+    df = spark.createDataFrame(
+        [("literal", "  a   b  "), ("uri", "  a   b  "), ("literal", None)],
+        "ptype string, val string",
+    )
+    out = df.select(
+        "ptype",
+        transform_literal_only(
+            F.col("val"), F.col("ptype"), normalize_whitespace(F.col("val"))
+        ).alias("v"),
+    ).collect()
+    got = {(r["ptype"], r["v"]) for r in out}
+    assert ("literal", "a b") in got      # literal: transformed
+    assert ("uri", "  a   b  ") in got    # non-literal: untouched
+    assert ("literal", None) in got       # null passthrough
+
+
+# --- normalize_name (F12, previously unexercised) ------------------------
+
+def test_normalize_name():
+    assert normalize_name("  Erasmus   von\tRotterdam ") == "erasmus von rotterdam"
+    assert normalize_name("M&uuml;ller") == "müller"
+    assert normalize_name(None) == ""
+    assert normalize_name("") == ""
+
+
+# --- fuzzy exact-parity scorer (reference SequenceMatcher semantics) -----
+
+def test_normalize_match_text():
+    from sgb_data_validator_spark.functions.pytext import normalize_match_text
+
+    # NFKC+lower, dash unification, diacritic strip, stopwords, word soup
+    assert normalize_match_text("Häuser – und Höfe, Basel Bd. 2") == "hauser und hofe 2"
+    assert normalize_match_text("Stadt.Geschichte.Basel (Hg.)") == ""
+    assert normalize_match_text(None) == ""
+
+
+def test_partial_ratio_directional():
+    from sgb_data_validator_spark.functions.pytext import partial_ratio
+
+    assert partial_ratio("abc", "xx abc yy") == 1.0            # containment
+    assert partial_ratio("", "x") == 0.0
+    # directionality: a short haystack cannot contain a long needle —
+    # the documented false-positive guard (transformations.py:565-573)
+    long_title = "eine lange geschichte der stadt im mittelalter"
+    assert partial_ratio(long_title, "ch") < 0.5
+    # but the swapped direction would have matched high — prove the
+    # asymmetry the reference engineered
+    assert partial_ratio("ch", long_title) == 1.0
+    # sliding window beats whole-string ratio for embedded near-matches
+    assert partial_ratio("gescichte", "eine lange geschichte der stadt") > 0.85
+
+
+def test_fuzzy_best_match_exact(spark):
+    from sgb_data_validator_spark.operators.fuzzy import fuzzy_best_match_exact
+
+    fact = spark.createDataFrame(
+        [(1, "Eine lange Geschichte der Stadt, Basel Bd. 1"),
+         (2, "völlig anderes buch")],
+        "id int, cite string",
+    )
+    dim = spark.createDataFrame(
+        [("d1", "Eine lange Geschichte der Stadt"), ("d2", "Etwas ganz anderes")],
+        "key string, title string",
+    )
+    got = {r["fact_key"]: (r["dim_key"], r["score"])
+           for r in fuzzy_best_match_exact(fact, dim, "id", "cite", "key", "title").collect()}
+    assert got[1][0] == "d1" and got[1][1] == 1.0
+    assert 2 not in got  # below threshold
+
+
+def test_normalize_name_udf(spark):
+    from sgb_data_validator_spark.functions.vectorized import normalize_name_udf
+
+    df = spark.createDataFrame([("  A  B ",), ("M&amp;M",)], "name string")
+    got = [r[0] for r in df.select(normalize_name_udf(F.col("name"))).collect()]
+    assert got == ["a b", "m&m"]

@@ -21,7 +21,7 @@ def test_job_run_and_resume(spark, tmp_path):
     assert rc == 1  # dirt ⇒ errors ⇒ reference exit-code contract
 
     verdicts = spark.read.parquet(f"{base}/report/verdicts")
-    statuses = {r.part: r.status for r in verdicts.collect()}
+    statuses = {str(r.part): r.status for r in verdicts.collect()}
     assert statuses["2026-01-05"] == "PASSED"
     assert any(s == "FAILED" for s in statuses.values())
 
@@ -30,9 +30,22 @@ def test_job_run_and_resume(spark, tmp_path):
     assert set(latest) == set(statuses)
     assert all(r.rows_per_sec > 0 and r.stats_digest for r in latest.values())
 
-    # resume: day 0 (PASSED) must be skipped, failed days revalidated
+    # resume: day 0 (PASSED) is skipped from recomputation, but the
+    # queryable report must KEEP its rows — dynamic partition overwrite
+    # replaces only the revalidated partitions (round-1 ADVICE: the old
+    # full overwrite silently dropped PASSED partitions on resume)
+    v1_day0 = (
+        spark.read.parquet(f"{base}/report/violations")
+        .where("part = '2026-01-05'")
+        .count()
+    )
     rc2 = run(spark, parse_args(argv + ["--resume"]))
     assert rc2 == 1
-    verdicts2 = {r.part for r in spark.read.parquet(f"{base}/report/verdicts").collect()}
-    assert "2026-01-05" not in verdicts2
-    assert verdicts2 == {p for p, s in statuses.items() if s == "FAILED"}
+    verdicts2 = {str(r.part) for r in spark.read.parquet(f"{base}/report/verdicts").collect()}
+    assert verdicts2 == set(statuses)  # nothing truncated
+    v2_day0 = (
+        spark.read.parquet(f"{base}/report/violations")
+        .where("part = '2026-01-05'")
+        .count()
+    )
+    assert v2_day0 == v1_day0  # PASSED partition's report rows preserved

@@ -110,11 +110,55 @@ def test_rollup_is_single_pass(spark):
 
 def test_ivf_assignment_broadcasts_centroids(spark):
     """IVF: centroid assignment must be a broadcast nested-loop (tiny
-    centroid dim against the partitioned corpus), and the cell join an
-    equi-join — never a broadcast of a corpus-sized side."""
+    one-row centroid-array dim against the partitioned corpus), and the
+    cell join an equi-join — never a broadcast of a corpus-sized side."""
     from sgb_data_validator_spark.plans.extra_queries import q_knn_ivf
 
     plan = q_knn_ivf(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == 2  # queries + corpus assignment
     cell_joins = [l for l in plan.splitlines() if "Join [cid" in l]
     assert cell_joins and all("Broadcast" not in l for l in cell_joins)
+    # the argmax is a per-row fold, not a window — the ONLY Window node
+    # in the whole query is the final top-k (its WindowGroupLimit
+    # pushdown nodes aside), so assignment adds no exchange
+    assert plan.count("Window [") == 1
+
+
+def test_ivf_assign_is_shuffle_free(spark):
+    """The assignment operator alone: one projection over the fact, zero
+    Exchange, zero Window (the round-1 row_number argmax shuffled
+    |corpus| × |centroids| scored rows)."""
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import ivf_assign
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias("v"),
+    )
+    cent = vecs.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), dot(F.col("v"), F.col("v")).alias("cn")
+    )
+    plan = plan_of(ivf_assign(vecs, cent, "vec_id", "v", "out_id"))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    # the only exchanges are the broadcast itself and the single-partition
+    # collapse of the tiny centroid dim into its one-row array; the fact
+    # is never hash-partitioned
+    assert tree.count("Exchange") == 2 and "BroadcastExchange" in tree
+    assert "SinglePartition" in plan
+    assert "hashpartitioning(out_id" not in plan
+
+
+def test_exact_dedup_single_narrow_shuffle(spark):
+    """exact_duplicates: one hash exchange on the fingerprint, window
+    aggregates over it, NO join and NO broadcast — the round-1 form
+    broadcast the O(duplicate-docs) group set."""
+    from sgb_data_validator_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], "id int, text string"
+    )
+    plan = plan_of(exact_duplicates(docs, "id", "text"))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree and "Broadcast" not in tree

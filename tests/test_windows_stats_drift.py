@@ -28,6 +28,27 @@ def test_sequence_rules(spark):
     ]
 
 
+def test_sequence_carry_crosses_empty_chunks(spark):
+    """A turn_idx gap spanning a whole chunk must still carry the lag:
+    the carry routes to the next chunk WITH rows, so a ts rewind across
+    the empty chunk is flagged exactly like the unchunked lag would
+    (round-1 ADVICE: the chunk+1-only carry silently missed it)."""
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, _ts(5), "p"), ("c1", 1, _ts(6), "p"),   # chunk 0
+            # chunks 1-2 empty (idx 4..11 absent), chunk 3: ts rewound
+            ("c1", 13, _ts(2), "p"),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, part string",
+    )
+    got = sorted(
+        (r.rule_id, r.turn_idx)
+        for r in sequence_violations(turns, chunk=4).collect()
+    )
+    # the unchunked-lag truth: idx 13 is both a gap AND a ts regression
+    assert got == [("ts.monotonicity", 13), ("turn.contiguity", 13)]
+
+
 def test_column_stats_long_format(spark):
     df = spark.createDataFrame(
         [("p1", "a", 1), ("p1", None, 2), ("p1", "b", 2), ("p2", "a", None)],
