@@ -65,6 +65,15 @@ def word_shingles(text: Column, n: int = 1, lowercase: bool = True) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def has_shingles(text: Column, n: int) -> Column:
+    """Cheap precondition equivalent to ``size(word_shingles(text, n)) > 0``:
+    at least ``n`` words (and non-null). Used as the pre-banding filter —
+    filtering on the COMPUTED hash array instead lets Catalyst push the
+    predicate below the projection and re-evaluate the whole md5 chain
+    twice (measured 2× on the minhash/simhash passes)."""
+    return F.size(F.split(F.trim(F.lower(text)), r"\s+")) >= n
+
+
 def canonical_fingerprint(text: Column) -> Column:
     """Exact-dedup canonical form: md5 over the sorted distinct word set.
     Catches reorder-only duplicates; one md5 per row, no shuffle of text."""
@@ -149,14 +158,14 @@ def minhash_candidate_pairs(
     cluster size, so cost is Σ cluster², the unavoidable output size.
     Hot buckets (giant boilerplate clusters) would be capped upstream by
     exact dedup running first."""
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
-    ).where(F.size("hvs") > 0)
-    # shingle-less docs (empty / fewer than n words) are dropped BEFORE
+    # shingle-less docs (null / fewer than n words) are dropped BEFORE
     # banding: array_min over an empty array is null and concat_ws skips
     # nulls, so every such doc would otherwise share every band key —
     # one giant bucket and a quadratic self-join on a real corpus
+    hashed = df.where(has_shingles(F.col(text_col), shingle_n)).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
+    )
     sigs = hashed.select(
         "id", *[s.alias(f"sig{i}") for i, s in enumerate(minhash_sig_cols(F.col("hvs"), k))]
     )
@@ -232,13 +241,13 @@ def simhash_near_duplicates(
     are word bigrams: sequence-sensitive (reorderings are NOT near-dups
     here — the word-set operators catch those) and far better spread
     for the banding."""
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: portable_hash(s)).alias("h"),
-    ).where(F.size("h") > 0)
     # same guard as minhash_candidate_pairs: docs with no shingles all
     # sketch to sim=0 (every bit-sum is 0 ⇒ not > 0) and would pairwise
     # collide at hamming 0 — drop them before banding
+    hashed = df.where(has_shingles(F.col(text_col), shingle_n)).select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: portable_hash(s)).alias("h"),
+    )
     sims = hashed.select("id", simhash_from_hashes(F.col("h")).alias("sim"))
     # one explode per doc instead of a 4-way union (which would recompute
     # the 48 bit-folds per band per join side); persist the tiny

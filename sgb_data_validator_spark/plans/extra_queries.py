@@ -142,6 +142,65 @@ SELECT rule_id, cast(count(*) AS bigint) AS n FROM v GROUP BY rule_id
 """
 
 
+def q_streaming_stateful_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator (applyInPandasWithState
+    sequence rules, streaming/incremental.py) driven through
+    availableNow over a dirtied transcript projection: every 13th turn
+    dropped (contiguity gaps) and every 7th-mod-3 turn's ts rewound two
+    days (monotonicity). The oracle is the equivalent batch lag SQL —
+    the stream must equal batch because availableNow drains everything
+    through the same per-conversation state machine."""
+    from sgb_data_validator_spark.streaming.incremental import (
+        SEQ_OUT_SCHEMA,
+        run_available_now,
+        stream_sequence_violations,
+        stream_turns,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sgb_seqstream_")
+    turns = _events_as_turns(spark, sf_dir)
+    dirty = turns.where(F.col("turn_idx") % 13 != 5).withColumn(
+        "ts",
+        F.when(
+            F.col("turn_idx") % 7 == 3, F.col("ts") - F.expr("INTERVAL 2 DAYS")
+        ).otherwise(F.col("ts")),
+    )
+    dirty.write.mode("overwrite").parquet(f"{tmp}/in")
+    query = run_available_now(
+        stream_sequence_violations(stream_turns(spark, f"{tmp}/in")),
+        out_path=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+    )
+    query.awaitTermination()
+    return (
+        spark.read.schema(SEQ_OUT_SCHEMA)
+        .parquet(f"{tmp}/out")
+        .select("rule_id", "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"))
+    )
+
+
+SQL_STREAMING_STATEFUL_SEQ = f"""
+WITH {_SQL_TURNS},
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 7 = 3 THEN ts - INTERVAL 2 DAY ELSE ts END AS ts
+  FROM turns WHERE turn_idx % 13 <> 5
+),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pidx,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts
+  FROM d
+)
+SELECT 'ts.monotonicity' AS rule_id, conv_id, cast(turn_idx AS int) AS turn_idx
+FROM w WHERE pts IS NOT NULL AND ts < pts
+UNION ALL
+SELECT 'turn.contiguity', conv_id, cast(turn_idx AS int)
+FROM w WHERE (pidx IS NULL AND turn_idx <> 0)
+   OR (pidx IS NOT NULL AND turn_idx - pidx > 1)
+"""
+
+
 # ------------------------------------------------------------- rollup (A6)
 
 def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +403,7 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE r
 
 EXTRA_QUERIES: dict[str, tuple] = {
     "streaming_row_rules": (q_streaming_row_rules, SQL_STREAMING_ROW_RULES),
+    "streaming_stateful_seq": (q_streaming_stateful_seq, SQL_STREAMING_STATEFUL_SEQ),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP_SUMMARY),
     "run_diff": (q_run_diff, SQL_RUN_DIFF),
     "migrate_idmap": (q_migrate_idmap, SQL_MIGRATE_IDMAP),

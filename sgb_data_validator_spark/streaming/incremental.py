@@ -101,6 +101,88 @@ def stream_deduplicated_turns(turns: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+SEQ_STATE_SCHEMA = "last_idx int, last_ts_us long"
+SEQ_OUT_SCHEMA = (
+    "rule_id string, conv_id string, turn_idx int, offending_value string, "
+    "part string"
+)
+
+
+def stream_sequence_violations(turns: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    the batch sequence rules (ts monotonicity + turn contiguity,
+    operators/windows.py) evaluated continuously, with per-conversation
+    state = (last turn_idx, last ts) carried ACROSS micro-batches — a
+    rewind that straddles a batch boundary is still flagged, which no
+    stateless per-batch window can do.
+
+    Inside a batch the group's rows are vectorized (pandas shift
+    compare, no per-row Python); state is two scalars per conversation.
+    State size is O(live conversations); at 10^12-turn scale bound it
+    with an event-time timeout that expires conversations idle past the
+    watermark (the reference-free analog of dropping closed sessions) —
+    kept NoTimeout here so availableNow batch-parity is exact."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def check(key, pdf_iter, state: GroupState):
+        conv_id = key[0]
+        last_idx, last_ts_us = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("turn_idx", kind="mergesort")
+            # microseconds: exact in the float64 that shift() produces
+            # (2026-epoch ns would exceed 2^53 and lose precision)
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            prev_idx = pdf["turn_idx"].shift()
+            prev_ts = ts_us.shift()
+            if last_idx is not None:
+                prev_idx.iloc[0] = last_idx
+                prev_ts.iloc[0] = last_ts_us
+            mono = prev_ts.notna() & (ts_us < prev_ts)
+            contig = (prev_idx.isna() & (pdf["turn_idx"] != 0)) | (
+                prev_idx.notna() & (pdf["turn_idx"] - prev_idx > 1)
+            )
+            for mask, rule, val in (
+                (mono, "ts.monotonicity", pdf["ts"].astype(str)),
+                (contig, "turn.contiguity", pdf["turn_idx"].astype(str)),
+            ):
+                hit = pdf[mask]
+                if len(hit):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "rule_id": rule,
+                                "conv_id": conv_id,
+                                "turn_idx": hit["turn_idx"].astype("int32"),
+                                "offending_value": val[mask],
+                                "part": hit["part"],
+                            }
+                        )
+                    )
+            last_idx = int(pdf["turn_idx"].iloc[-1])
+            last_ts_us = int(ts_us.iloc[-1])
+        if last_idx is not None:
+            state.update((last_idx, last_ts_us))
+        if out:
+            yield pd.concat(out)
+
+    return (
+        turns.select("conv_id", "turn_idx", "ts", "part")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            check,
+            outputStructType=SEQ_OUT_SCHEMA,
+            stateStructType=SEQ_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(df: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"):
     """Batch-incremental execution: process all currently-available input,
     write parquet exactly-once via the checkpoint, stop. Re-invoking

@@ -73,6 +73,58 @@ def test_stream_windowed_verdicts_match_batch_days(spark, tmp_path):
         assert got[part][1] == ("FAILED" if n > 0 else "PASSED")
 
 
+def test_stateful_sequence_rules_match_batch(spark, tmp_path):
+    """applyInPandasWithState sequence rules == the batch chunked-window
+    operator on the same input (single availableNow batch)."""
+    from sgb_data_validator_spark.operators.windows import sequence_violations
+
+    landing = _land(spark, tmp_path)
+    out, ckpt = str(tmp_path / "seq"), str(tmp_path / "ckpt4")
+    q = si.run_available_now(
+        si.stream_sequence_violations(si.stream_turns(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.rule_id, r.conv_id, r.turn_idx)
+        for r in spark.read.schema(si.SEQ_OUT_SCHEMA).parquet(out).collect()
+    )
+    want = sorted(
+        (r.rule_id, r.conv_id, r.turn_idx)
+        for r in sequence_violations(spark.read.parquet(landing)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stateful_sequence_state_crosses_batches(spark, tmp_path):
+    """The per-conversation state must survive micro-batch boundaries: a
+    ts rewind whose offending row arrives in a LATER availableNow run is
+    still flagged against the previous run's last row."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing2")
+    out, ckpt = str(tmp_path / "seq2"), str(tmp_path / "ckpt5")
+
+    def turn(idx, hour):
+        return ("cX", idx, "user", "t", None, dt.datetime(2026, 1, 5, hour), "2026-01-05")
+
+    schema = si.TURN_SCHEMA
+    spark.createDataFrame([turn(0, 1), turn(1, 5)], schema).write.mode("append").parquet(landing)
+    q = si.run_available_now(
+        si.stream_sequence_violations(si.stream_turns(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(300)
+    # second batch: idx 2 arrives with ts BEFORE batch 1's last row
+    spark.createDataFrame([turn(2, 3)], schema).write.mode("append").parquet(landing)
+    q2 = si.run_available_now(
+        si.stream_sequence_violations(si.stream_turns(spark, landing)), out, ckpt
+    )
+    q2.awaitTermination(300)
+    got = {(r.rule_id, r.turn_idx)
+           for r in spark.read.schema(si.SEQ_OUT_SCHEMA).parquet(out).collect()}
+    assert ("ts.monotonicity", 2) in got  # flagged across the batch boundary
+    assert ("turn.contiguity", 2) not in got  # idx contiguous via carried state
+
+
 def test_stream_dedup_bounded_state(spark, tmp_path):
     landing = _land(spark, tmp_path)
     out, ckpt = str(tmp_path / "dedup"), str(tmp_path / "ckpt3")
