@@ -120,6 +120,59 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    nprobe: int,
+) -> DataFrame:
+    """Top-``nprobe`` cells per vector (the query-side IVF fan-out when
+    nprobe > 1 — the standard recall knob: probing more cells recovers
+    neighbors that fell just across a cell boundary). Same broadcast
+    one-row centroid array as :func:`ivf_assign`; per row the centroid
+    scores are sorted natively (rounded-cosine desc, cid-asc tiebreak —
+    the same total order the SQL oracle's row_number uses) and the top
+    slice explodes to (vector, cell) rows. Still ZERO shuffle of the
+    fact; output is nprobe× the query count, which is the intended
+    fan-out, not overhead."""
+    cid_type = dict(centroids.dtypes)["cid"]
+    cent_arr = F.broadcast(
+        centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv", "cn"))).alias("_cents")
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_v"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_n"),
+    ).crossJoin(cent_arr)
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(
+                cosine_with_norms(F.col("_v"), c["cv"], F.col("_n"), c["cn"]), 4
+            ).alias("s"),
+            c["cid"].cast(cid_type).alias("cid"),
+        ),
+    )
+
+    def cmp(a, b):
+        return (
+            F.when(a["s"] > b["s"], F.lit(-1))
+            .when(a["s"] < b["s"], F.lit(1))
+            .when(a["cid"] < b["cid"], F.lit(-1))
+            .when(a["cid"] > b["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    top = F.slice(F.array_sort(scored, cmp), 1, nprobe)
+    return base.select(
+        out_id, "_v", "_n", F.explode(top).alias("_sc")
+    ).select(out_id, "_v", "_n", F.col("_sc.cid").alias("cid"))
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -127,6 +180,7 @@ def knn_ivf(
     vec_col: str,
     cent_mod: int,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic sample of the corpus
     (every ``cent_mod``-th id) acts as the coarse centroid set; each
@@ -142,11 +196,12 @@ def knn_ivf(
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
     )
-    q = (
+    q_cells = (
         ivf_assign(queries, cent, id_col, vec_col, "query_id")
-        .withColumnRenamed("_v", "qvec")
-        .withColumnRenamed("_n", "qn")
+        if nprobe <= 1
+        else ivf_probe_cells(queries, cent, id_col, vec_col, "query_id", nprobe)
     )
+    q = q_cells.withColumnRenamed("_v", "qvec").withColumnRenamed("_n", "qn")
     c = (
         ivf_assign(corpus, cent, id_col, vec_col, "neighbor_id")
         .withColumnRenamed("_v", "cvec")

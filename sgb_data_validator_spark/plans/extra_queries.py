@@ -401,6 +401,50 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE r
 """
 
 
+def q_knn_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its two nearest cells — the
+    recall knob that recovers neighbors just across a cell boundary. The
+    corpus side stays top-1-assigned; only the (tiny) query side fans
+    out 2×."""
+    vecs = _vectors_with_twins(spark, sf_dir)
+    return S.knn_ivf(
+        vecs.where(F.col("vec_id") % KNN_QUERY_MOD == 0),
+        vecs,
+        "vec_id",
+        "v",
+        cent_mod=CENT_MOD,
+        k=5,
+        nprobe=2,
+    )
+
+
+SQL_KNN_IVF_NPROBE = f"""
+WITH {SQL_VECTORS_TWINS},
+cent AS (SELECT vec_id AS cid, v AS cv FROM alle WHERE vec_id % {CENT_MOD} = 0),
+asg AS (
+  SELECT a.vec_id, a.v, c.cid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({SQL_COS.format(a="a.v", b="c.cv")}, 4) DESC, c.cid ASC
+         ) AS rnk
+  FROM alle a CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, v, cid FROM asg WHERE rnk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cid
+      FROM asg WHERE rnk <= 2 AND vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {SQL_COS.format(a="q.qv", b="c.v")} AS cos
+  FROM q JOIN cells c USING (cid) WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "streaming_row_rules": (q_streaming_row_rules, SQL_STREAMING_ROW_RULES),
     "streaming_stateful_seq": (q_streaming_stateful_seq, SQL_STREAMING_STATEFUL_SEQ),
@@ -410,4 +454,5 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "json_roundtrip": (q_json_roundtrip, SQL_JSON_ROUNDTRIP),
     "cube_summary": (q_cube_summary, SQL_CUBE_SUMMARY),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "knn_ivf_nprobe": (q_knn_ivf_nprobe, SQL_KNN_IVF_NPROBE),
 }

@@ -490,6 +490,28 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload (every 4th 64-byte frame).
+    The oracle frames by characters — valid because this corpus is ASCII
+    (the same assumption the text-pipeline oracle documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary_payload(docs, "text"), frame_size=64, every=4)
+
+
+SQL_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, cast(ceil(octet_length(encode(text)) / 64.0) AS bigint), 4)) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(i AS int) AS frame_idx,
+       cast(length(substr(text, cast(i * 64 + 1 AS bigint), 64)) AS int) AS frame_bytes,
+       md5(substr(text, cast(i * 64 + 1 AS bigint), 64)) AS frame_md5
+FROM f
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -503,4 +525,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }

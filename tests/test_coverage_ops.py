@@ -167,6 +167,27 @@ def test_transform_literal_only(spark):
     assert ("literal", None) in got       # null passthrough
 
 
+# --- multimodal frame-sample / resize plumbing ---------------------------
+
+def test_sample_frames_and_resize(spark):
+    from sgb_data_validator_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "a" * 130), (2, "")], "doc_id long, text string")
+    payload = attach_binary_payload(docs, "text")
+    frames = {
+        (r.doc_id, r.frame_idx): r.frame_bytes
+        for r in sample_frames(payload, frame_size=64, every=2).collect()
+    }
+    # doc 1: 130 bytes → frames 0 (64), 1 (64), 2 (2); every=2 keeps 0 and 2
+    assert frames == {(1, 0): 64, (1, 2): 2}
+    rs = {r.doc_id: (r.n_px, r.out_w, r.out_h) for r in resize_images(payload, 4, 4).collect()}
+    assert rs[1] == (16, 4, 4) and rs[2] == (16, 4, 4)  # empty pads to n_px
+
+
 # --- normalize_name (F12, previously unexercised) ------------------------
 
 def test_normalize_name():
