@@ -74,6 +74,30 @@ def ts_chi_square(turns: DataFrame, baseline: DataFrame, dim: str = "ts_hour_buc
     )
 
 
+def psi(turns: DataFrame, baseline: DataFrame, dim: str, value_col=None) -> DataFrame:
+    """(part, dim, psi) — Population Stability Index, the industry drift
+    score: Σ_v (p_v − q_v)·ln(p_v/q_v). Unlike KL it is symmetric in
+    spirit (both directions of shift contribute positively) and includes
+    baseline categories MISSING from the partition (p smoothed to ε), so
+    a vanished category registers. Plan shape: the per-(part, value)
+    count shuffle from categorical_freqs, a broadcast of the tiny
+    (parts × baseline-categories) grid, and a per-part reduction."""
+    value_col = value_col if value_col is not None else F.col(dim)
+    p = categorical_freqs(turns, dim, value_col).select("part", "value", "p")
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    grid = p.select("part").distinct().crossJoin(F.broadcast(q))
+    joined = (
+        p.join(grid, ["part", "value"], "full")
+        .withColumn("p", F.coalesce(F.col("p"), F.lit(EPSILON)))
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(EPSILON)))
+    )
+    return (
+        joined.groupBy("part")
+        .agg(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"))
+        .select("part", F.lit(dim).alias("dim"), "psi")
+    )
+
+
 def drift_violations(
     turns: DataFrame,
     baseline: DataFrame,

@@ -298,6 +298,110 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------ quantile stats (A4)
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    ANSI percentile_cont semantics). The scale path for 10^12 rows is
+    ``percentile_approx`` (KLL-style sketch, mergeable map-side) — exact
+    here so the DuckDB oracle can mirror it bit-for-bit after rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return li.groupBy(F.col("l_returnflag").alias("part")).agg(
+        F.round(F.percentile(qty, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(qty, F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile(qty, F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag AS part,
+       round(quantile_cont(cast(l_quantity AS double), 0.5), 4) AS p50,
+       round(quantile_cont(cast(l_quantity AS double), 0.95), 4) AS p95,
+       round(quantile_cont(cast(l_quantity AS double), 0.99), 4) AS p99
+FROM lineitem GROUP BY 1
+"""
+
+
+# ------------------------------------------------ PSI drift (A5)
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per day vs the global event-type mix
+    (operators/drift.py:psi — includes categories absent from a
+    partition, ε-smoothed)."""
+    from sgb_data_validator_spark.operators.drift import psi
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        F.col("event_type").alias("role"),
+    )
+    total = t.count()
+    baseline = (
+        t.groupBy(F.col("role").alias("value"))
+        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("freq"))
+        .select(F.lit("role").alias("dim"), "value", "freq")
+    )
+    return psi(t, baseline, "role").select("part", F.round("psi", 6).alias("psi"))
+
+
+SQL_DRIFT_PSI = """
+WITH q AS (
+  SELECT event_type AS value,
+         count(*) / cast((SELECT count(*) FROM events) AS double) AS q
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, event_type AS value,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS double) AS p
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT part, value, q FROM (SELECT DISTINCT part FROM p) CROSS JOIN q
+), j AS (
+  SELECT coalesce(g.part, p.part) AS part,
+         coalesce(p.p, 1e-6) AS p, coalesce(g.q, 1e-6) AS q
+  FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
+)
+SELECT part, round(sum((p - q) * ln(p / q)), 6) AS psi FROM j GROUP BY part
+"""
+
+
+# ------------------------------------------------ backup/restore (S10)
+
+def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full backup → explicit-schema restore → aggregate over the
+    RESTORED frames (sources/backup.py; reference api.py:369-560).
+    Parity with the direct-parquet oracle proves the round-trip — data,
+    schema, and the parent/child join keys — is lossless."""
+    import tempfile
+
+    from sgb_data_validator_spark.sources.backup import backup_tables, restore_tables
+
+    tmp = tempfile.mkdtemp(prefix="sgb_backup_")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("double").alias("qty")
+    )
+    backup_tables({"orders": orders, "lineitem": li}, tmp)
+    r = restore_tables(spark, tmp)
+    return (
+        r["lineitem"]
+        .join(r["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("qty"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_BACKUP_RESTORE = """
+SELECT o_orderstatus, cast(count(*) AS bigint) AS n_lines,
+       round(sum(cast(l_quantity AS double)), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 COVERAGE_QUERIES: dict[str, tuple] = {
     "iso639_lang": (q_iso639_lang, SQL_ISO639_LANG),
     "iconclass_hierarchy": (q_iconclass_hierarchy, SQL_ICONCLASS_HIERARCHY),
@@ -305,4 +409,7 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "row_rules_extra": (q_row_rules_extra, SQL_ROW_RULES_EXTRA),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "json_cols": (q_json_cols, SQL_JSON_COLS),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+    "backup_restore": (q_backup_restore, SQL_BACKUP_RESTORE),
 }

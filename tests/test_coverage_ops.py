@@ -167,6 +167,44 @@ def test_transform_literal_only(spark):
     assert ("literal", None) in got       # null passthrough
 
 
+# --- backup / restore (S10) ----------------------------------------------
+
+def test_backup_restore_verify(spark, tmp_path):
+    from sgb_data_validator_spark.sources.backup import (
+        backup_tables,
+        restore_tables,
+        verify_backup,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, s string")
+    d = str(tmp_path / "bk")
+    m = backup_tables({"t": df}, d)
+    assert m["tables"]["t"]["rows"] == 2
+    back = restore_tables(spark, d)["t"]
+    assert back.schema == df.schema  # explicit-schema restore, no inference
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, None)]
+    v = verify_backup(spark, d)
+    assert v["t"]["ok"] is True
+
+
+# --- PSI drift: vanished category must register --------------------------
+
+def test_psi_counts_vanished_category(spark):
+    from sgb_data_validator_spark.operators.drift import psi
+
+    turns = spark.createDataFrame(
+        [("p1", "user")] * 10, "part string, role string"
+    )
+    baseline = spark.createDataFrame(
+        [("role", "user", 0.5), ("role", "assistant", 0.5)],
+        "dim string, value string, freq double",
+    )
+    got = psi(turns, baseline, "role").collect()[0]
+    # 'assistant' vanished: its (eps - 0.5)ln(eps/0.5) term dominates —
+    # a KL(p||q) that only iterates observed categories would miss it
+    assert got.psi > 5.0
+
+
 # --- multimodal frame-sample / resize plumbing ---------------------------
 
 def test_sample_frames_and_resize(spark):
