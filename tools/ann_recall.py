@@ -18,11 +18,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def topk_sets(df) -> dict:
+def topk_sets(df) -> tuple[dict, dict]:
+    """(query → neighbor set, query → rank-1 neighbor)."""
     out: dict = {}
+    top1: dict = {}
     for r in df.collect():
         out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    return out
+        if r["rank"] == 1:
+            top1[r["query_id"]] = r["neighbor_id"]
+    return out, top1
 
 
 def recall(approx: dict, exact: dict, k: int) -> float:
@@ -52,11 +56,17 @@ def main() -> None:
     vecs = _vectors_with_twins(spark, sf_dir).persist()
     queries = vecs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
 
-    exact = topk_sets(S.knn_bruteforce(queries, vecs, "vec_id", "v", k=k))
-    lsh = topk_sets(S.knn_lsh(queries, vecs, "vec_id", "v", dim=DIM, k=k, n_planes=N_PLANES))
-    ivf1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=1))
-    ivf2 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=2))
-    ivf4 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=4))
+    exact, exact1 = topk_sets(S.knn_bruteforce(queries, vecs, "vec_id", "v", k=k))
+    lsh, lsh1 = topk_sets(S.knn_lsh(queries, vecs, "vec_id", "v", dim=DIM, k=k, n_planes=N_PLANES))
+    ivf1, ivf1_1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=1))
+    ivf2, ivf2_1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=2))
+    ivf4, ivf4_1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=4))
+
+    def top1_recall(approx1: dict) -> float:
+        # did the approximate path retrieve the true nearest neighbor
+        # (the injected near-twin for twin queries)?
+        hit = sum(1 for q, n in exact1.items() if approx1.get(q) == n)
+        return round(hit / len(exact1), 4) if exact1 else 0.0
 
     print(
         json.dumps(
@@ -64,10 +74,18 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "k": k,
                 "n_queries": len(exact),
-                "recall_lsh": recall(lsh, exact, k),
-                "recall_ivf_nprobe1": recall(ivf1, exact, k),
-                "recall_ivf_nprobe2": recall(ivf2, exact, k),
-                "recall_ivf_nprobe4": recall(ivf4, exact, k),
+                "recall_at_k": {
+                    "lsh": recall(lsh, exact, k),
+                    "ivf_nprobe1": recall(ivf1, exact, k),
+                    "ivf_nprobe2": recall(ivf2, exact, k),
+                    "ivf_nprobe4": recall(ivf4, exact, k),
+                },
+                "top1_recall": {
+                    "lsh": top1_recall(lsh1),
+                    "ivf_nprobe1": top1_recall(ivf1_1),
+                    "ivf_nprobe2": top1_recall(ivf2_1),
+                    "ivf_nprobe4": top1_recall(ivf4_1),
+                },
             }
         )
     )
