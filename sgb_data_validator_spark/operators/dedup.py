@@ -276,6 +276,67 @@ def simhash_near_duplicates(
     return pairs
 
 
+# ---------------------------------------------------------- components
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: every member of
+    a transitively-connected group gets the group's minimum id as
+    ``cluster_id`` — the canonical-representative step that turns pair
+    output (minhash/simhash/embedding) into dedup decisions.
+
+    Spark-first iterative shape: min-label propagation. Each round every
+    node takes the min of its own label and its neighbors' labels; the
+    loop stops when a round changes nothing. Rounds needed = graph
+    diameter; near-dup clusters are shallow (hub-and-spoke around the
+    canonical doc), so convergence is fast — ``max_iterations`` is a
+    runaway backstop, and the loop RAISES if it trips rather than
+    silently emitting half-merged clusters. Per round: one self-join of
+    the (src, label) frame against the edge list and a min-aggregate —
+    all narrow (id, id) rows, never payloads. ``localCheckpoint`` cuts
+    the lineage each round so the plan does not grow exponentially; at
+    10^12-edge scale swap propagation for the alternating small-star /
+    large-star contraction (same join primitives, O(log n) rounds) and
+    reliable checkpoint() to cluster storage.
+
+    Input: (id_a, id_b) pair frame (extra columns ignored). Output:
+    (doc_id, cluster_id) for every id that appears in a pair."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("src", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds — "
+            "cluster diameter exceeds the backstop; raise max_iterations or "
+            "switch to small-star/large-star contraction"
+        )
+    edges.unpersist()
+    return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------- jaccard
 
 def ngram_jaccard_pairs(

@@ -157,6 +157,40 @@ SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b, n_bands FROM 
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash candidate pairs: pair
+    output → canonical cluster ids (operators/dedup.py:dedup_clusters,
+    min-label propagation). The DuckDB twin computes the same components
+    with a recursive transitive closure — clusters are shallow, so the
+    recursion is small."""
+    pairs = D.minhash_candidate_pairs(
+        _docs_with_twins(spark, sf_dir), "doc_id", "text",
+        k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2,
+    )
+    return D.dedup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT cast(src AS bigint) AS doc_id,
+       cast(least(src, min(dst)) AS bigint) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 # ---- dedup: simhash ------------------------------------------------------
 
 def _sql_simhash() -> str:
@@ -515,6 +549,7 @@ FROM f
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -167,6 +167,32 @@ def test_transform_literal_only(spark):
     assert ("literal", None) in got       # null passthrough
 
 
+# --- connected components over dedup pairs -------------------------------
+
+def test_dedup_clusters_transitive(spark):
+    from sgb_data_validator_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (transitive merge), separate pair 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a int, id_b int"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from sgb_data_validator_spark.operators.dedup import dedup_clusters
+
+    # a path graph needs ~diameter rounds; backstop of 1 must trip loudly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=1)
+
+
 # --- backup / restore (S10) ----------------------------------------------
 
 def test_backup_restore_verify(spark, tmp_path):
