@@ -42,7 +42,64 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--resume", action="store_true", help="skip partitions PASSED in the ledger")
     p.add_argument("--parts", help="comma-separated explicit partition list")
     p.add_argument("--lineage", default="jobs/validate.py")
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="incremental mode: --turns is a landing dir; each invocation "
+        "processes only files not yet seen by the checkpoint (availableNow) "
+        "and APPENDS exactly-once to the violations sink",
+    )
     return p.parse_args(argv)
+
+
+def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Batch-incremental execution through Structured Streaming: the
+    stateless row rules and the stateful sequence rules drain everything
+    new in the landing dir (trigger availableNow), write exactly-once
+    via their checkpoints, and the verdict report is recomputed from the
+    full violations sink. Re-invoking after more files land processes
+    only the new files — the streaming resume story from the same CLI."""
+    from sgb_data_validator_spark.plans.pipeline import compute_verdicts
+    from sgb_data_validator_spark.streaming import incremental as si
+
+    out = args.out
+    q1 = si.run_available_now(
+        si.stream_row_violations(si.stream_turns(spark, args.turns)),
+        f"{out}/violations_stream/rows",
+        f"{out}/_ckpt/rows",
+    )
+    q2 = si.run_available_now(
+        si.stream_sequence_violations(si.stream_turns(spark, args.turns)),
+        f"{out}/violations_stream/seq",
+        f"{out}/_ckpt/seq",
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    viol_schema = (
+        "rule_id string, conv_id string, turn_idx int, column string, "
+        "offending_value string, severity string, part string"
+    )
+    rows = spark.read.schema(viol_schema).parquet(f"{out}/violations_stream/rows")
+    seq = (
+        spark.read.schema(si.SEQ_OUT_SCHEMA)
+        .parquet(f"{out}/violations_stream/seq")
+        .select(
+            "rule_id",
+            "conv_id",
+            "turn_idx",
+            F.lit("ts").alias("column"),
+            "offending_value",
+            F.lit("warning").alias("severity"),
+            "part",
+        )
+    )
+    violations = rows.unionByName(seq)
+    turns = spark.read.parquet(args.turns)
+    verdicts = compute_verdicts(turns, violations)
+    for row in verdicts.orderBy("part").collect():
+        print(f"{row.part}\t{row.status}\terrors={row.error_count}\twarnings={row.warning_count}")
+    return 0 if verdicts.where(F.col("status") == "FAILED").limit(1).count() == 0 else 1
 
 
 def run(spark: SparkSession, args: argparse.Namespace) -> int:
@@ -50,6 +107,9 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
     from sgb_data_validator_spark.plans.pipeline import TranscriptTables, validate
     from sgb_data_validator_spark.sources import sinks
     from sgb_data_validator_spark.sources.ledger import Ledger
+
+    if args.streaming:
+        return run_streaming(spark, args)
 
     turns = spark.read.parquet(args.turns)
     if args.parts:

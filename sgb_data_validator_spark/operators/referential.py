@@ -34,9 +34,18 @@ def orphan_violations(
     turn_col: str | None = "turn_idx",
     part_col: str | None = "part",
     filter_null: bool = True,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
-    """Rows of ``fact`` whose key has no match in ``dim``."""
-    keys = F.broadcast(dim.select(F.col(dim_key).alias("__k")).distinct())
+    """Rows of ``fact`` whose key has no match in ``dim``.
+
+    ``broadcast_dim=False`` is the graceful degradation for a manifest
+    that outgrows executor memory (≳10^9 distinct keys): the anti-join
+    becomes a shuffled hash join keyed by the fact key — one narrow
+    key-only shuffle of the fact instead of an OOM'd broadcast build.
+    Nothing else about the operator changes."""
+    keys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
     probe = fact.where(F.col(fact_key).isNotNull()) if filter_null else fact
     missing = probe.join(keys, on=probe[fact_key] == keys["__k"], how="left_anti")
     part = (F.col(part_col) if part_col else F.lit(None)).cast("string")

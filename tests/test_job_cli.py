@@ -49,3 +49,29 @@ def test_job_run_and_resume(spark, tmp_path):
         .count()
     )
     assert v2_day0 == v1_day0  # PASSED partition's report rows preserved
+
+
+def test_job_streaming_incremental(spark, tmp_path):
+    """--streaming: availableNow drains the landing dir exactly-once;
+    re-invoking with nothing new appends nothing, landing more files
+    processes only them."""
+    from sgb_data_validator_spark.sources.generator import generate_turns
+
+    base = str(tmp_path)
+    landing = f"{base}/landing"
+    generate_turns(spark, FixtureConfig(n_turns=800)).write.mode("append").parquet(landing)
+    argv = ["--turns", landing, "--out", f"{base}/sreport", "--streaming"]
+    rc = run(spark, parse_args(argv))
+    assert rc == 1  # dirt ⇒ errors
+    n1 = spark.read.parquet(f"{base}/sreport/violations_stream/rows").count()
+    assert n1 > 0
+
+    # nothing new ⇒ second invocation appends nothing
+    rc2 = run(spark, parse_args(argv))
+    assert rc2 == 1
+    assert spark.read.parquet(f"{base}/sreport/violations_stream/rows").count() == n1
+
+    # new files land ⇒ only they are processed (count strictly grows)
+    generate_turns(spark, FixtureConfig(n_turns=800, seed=7)).write.mode("append").parquet(landing)
+    run(spark, parse_args(argv))
+    assert spark.read.parquet(f"{base}/sreport/violations_stream/rows").count() > n1

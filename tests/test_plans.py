@@ -38,6 +38,18 @@ def test_referential_join_is_broadcast_anti(spark, turns_parquet):
     assert "SortMergeJoin" not in plan
 
 
+def test_referential_degrades_to_shuffled_join(spark, turns_parquet):
+    """broadcast_dim=False: the documented big-manifest fallback must be
+    a real (shuffled) anti-join, not still a broadcast."""
+    turns = spark.read.parquet(turns_parquet)
+    dim = spark.createDataFrame([("c0",), ("c1",)], "conv_id string")
+    plan = plan_of(
+        orphan_violations(turns, dim, "conv_id", "conv_id", "ref.conv_id", broadcast_dim=False)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "LeftAnti" in plan and "BroadcastHashJoin" not in tree
+
+
 def test_filter_pushdown_reaches_scan(spark, turns_parquet):
     turns = spark.read.parquet(turns_parquet)
     plan = plan_of(turns.where(F.col("conv_id") == "c1").select("conv_id", "turn_idx"))
