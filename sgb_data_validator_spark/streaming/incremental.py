@@ -108,7 +108,11 @@ SEQ_OUT_SCHEMA = (
 )
 
 
-def stream_sequence_violations(turns: DataFrame) -> DataFrame:
+def stream_sequence_violations(
+    turns: DataFrame,
+    timeout_ms: int | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
     """Custom STATEFUL streaming operator (``applyInPandasWithState``):
     the batch sequence rules (ts monotonicity + turn contiguity,
     operators/windows.py) evaluated continuously, with per-conversation
@@ -118,16 +122,23 @@ def stream_sequence_violations(turns: DataFrame) -> DataFrame:
 
     Inside a batch the group's rows are vectorized (pandas shift
     compare, no per-row Python); state is two scalars per conversation.
-    State size is O(live conversations); at 10^12-turn scale bound it
-    with an event-time timeout that expires conversations idle past the
-    watermark (the reference-free analog of dropping closed sessions) —
-    kept NoTimeout here so availableNow batch-parity is exact."""
+
+    State bound: with ``timeout_ms`` set, an EVENT-TIME timeout expires
+    a conversation's state once the stream's watermark passes its last
+    event plus the horizon — state is O(conversations active within the
+    horizon), independent of total history, which is what makes this
+    viable at 10^12 turns. An expired conversation restarts fresh (a
+    closed session, reopened). With ``timeout_ms=None`` state never
+    expires and availableNow output is exactly batch-equal."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def check(key, pdf_iter, state: GroupState):
         conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_idx, last_ts_us = state.get if state.exists else (None, None)
         out = []
         for pdf in pdf_iter:
@@ -167,19 +178,24 @@ def stream_sequence_violations(turns: DataFrame) -> DataFrame:
             last_ts_us = int(ts_us.iloc[-1])
         if last_idx is not None:
             state.update((last_idx, last_ts_us))
+            if timeout_ms is not None:
+                state.setTimeoutTimestamp(last_ts_us // 1000 + timeout_ms)
         if out:
             yield pd.concat(out)
 
-    return (
-        turns.select("conv_id", "turn_idx", "ts", "part")
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            check,
-            outputStructType=SEQ_OUT_SCHEMA,
-            stateStructType=SEQ_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = turns.select("conv_id", "turn_idx", "ts", "part")
+    if timeout_ms is not None:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("conv_id").applyInPandasWithState(
+        check,
+        outputStructType=SEQ_OUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

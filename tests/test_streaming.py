@@ -125,6 +125,62 @@ def test_stateful_sequence_state_crosses_batches(spark, tmp_path):
     assert ("turn.contiguity", 2) not in got  # idx contiguous via carried state
 
 
+def test_stateful_sequence_event_time_timeout(spark, tmp_path):
+    """With an event-time timeout, a conversation idle past the horizon
+    has its state EXPIRED and restarts as a fresh session. Observable
+    difference: cA's next turn is idx 1, which is contiguous with its
+    old state (0 → 1, no flag) but a bad session start once the state
+    is gone (1 ≠ 0 ⇒ contiguity flag). The no-timeout pipeline over the
+    IDENTICAL landing must not flag it."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing3")
+    schema = si.TURN_SCHEMA
+    one_hour_ms = 3_600_000
+
+    def turn(conv, idx, day, hour):
+        return (conv, idx, "user", "t", None, dt.datetime(2026, 1, day, hour), f"2026-01-0{day}")
+
+    def drain(tag, timeout_ms):
+        q = si.run_available_now(
+            si.stream_sequence_violations(
+                si.stream_turns(spark, landing),
+                timeout_ms=timeout_ms,
+                watermark="0 seconds",
+            ),
+            str(tmp_path / f"out_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(300)
+
+    def got(tag):
+        return {
+            (r.rule_id, r.conv_id, r.turn_idx)
+            for r in spark.read.schema(si.SEQ_OUT_SCHEMA)
+            .parquet(str(tmp_path / f"out_{tag}"))
+            .collect()
+        }
+
+    batches = [
+        # batch 1: cA and cB both end day 5 01:00
+        [turn("cA", 0, 5, 1), turn("cB", 0, 5, 1)],
+        # batch 2: only cB advances to day 6 — the watermark moves past
+        # cA's (last ts + 1h) timeout, expiring cA's state
+        [turn("cB", 1, 6, 1)],
+        # batch 3: cA reappears at idx 1, ts after the watermark
+        [turn("cA", 1, 6, 2)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(landing)
+        drain("timeout", one_hour_ms)
+        drain("keep", None)
+
+    # timeout path: cA's state expired ⇒ idx 1 is a bad fresh-session start
+    assert ("turn.contiguity", "cA", 1) in got("timeout")
+    # no-timeout path: state alive ⇒ 0 → 1 is contiguous, nothing flagged
+    assert ("turn.contiguity", "cA", 1) not in got("keep")
+
+
 def test_stream_dedup_bounded_state(spark, tmp_path):
     landing = _land(spark, tmp_path)
     out, ckpt = str(tmp_path / "dedup"), str(tmp_path / "ckpt3")
