@@ -12,7 +12,10 @@ Oracle-parity conventions:
 * every computed column aliased identically in Spark and SQL;
 * counts cast to bigint on both sides;
 * float aggregates rounded (4-6 dp) on both sides;
-* money sums carried as DECIMAL(18,2) on both sides (exact);
+* money sums computed EXACTLY as DECIMAL(18,2), then surfaced as double
+  on both sides — the driver's pandas canonicalizer hashes Spark Decimal
+  cells and DuckDB float64 cells differently (tools/check_oracle_pandas.py
+  pins the dtype-class parity);
 * regexes restricted to the Java∩RE2 dialect intersection (no
   lookahead in oracle SQL — rewritten with capture groups).
 """
@@ -186,7 +189,10 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_quantity").alias("max_qty"),
             F.countDistinct("l_partkey").cast("bigint").alias("distinct_parts"),
             F.round(F.avg("l_discount"), 4).alias("avg_discount"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            # exact decimal sum, surfaced as double — the repo-wide
+            # convention for the driver's pandas canonicalizer (Decimal
+            # cells hash differently from float64)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -199,7 +205,7 @@ SELECT l_returnflag AS part,
        max(l_quantity) AS max_qty,
        cast(count(DISTINCT l_partkey) AS bigint) AS distinct_parts,
        round(avg(l_discount), 4) AS avg_discount,
-       sum(cast(l_extendedprice AS decimal(18,2))) AS sum_price
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price
 FROM lineitem GROUP BY l_returnflag
 """
 
