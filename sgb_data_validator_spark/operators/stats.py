@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +79,30 @@ def column_stats(
     part = (F.col(part_col) if part_col else F.lit("__all__")).cast("string")
     return wide.select(part.alias("part"), F.explode(F.array(*structs)).alias("s")).select(
         "part", "s.*"
+    )
+
+
+def top_values(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    part_col: str | None = "part",
+) -> DataFrame:
+    """Top-k most frequent values per partition (the value-distribution
+    block of the reference's profiling report, profiling.py:57-83).
+    Ties break on the value itself so output is deterministic. Plan:
+    one combinable (part, value) count + a top-k window over the
+    aggregated frame — WindowGroupLimit prunes to k per group before
+    the final exchange, so the window never sees the full value set."""
+    group = ([F.col(part_col).alias("part")] if part_col else [F.lit("__all__").alias("part")])
+    counts = df.where(F.col(value_col).isNotNull()).groupBy(
+        *group, F.col(value_col).alias("value")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("part").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("part", "value", "n", F.col("rank").cast("int").alias("rank"))
     )
 
 

@@ -39,6 +39,81 @@ from sgb_data_validator_spark.operators.rules import SEV_WARNING
 SEQ_CHUNK = 32_768
 
 
+def sessionize(
+    turns: DataFrame,
+    gap_us: int,
+    chunk: int = SEQ_CHUNK,
+) -> DataFrame:
+    """Gap-based session assignment: within a conversation (ordered by
+    turn_idx), a new session starts whenever the gap to the previous
+    turn exceeds ``gap_us`` microseconds; output is (conv_id, turn_idx,
+    session_idx) with sessions numbered from 0.
+
+    Skew design mirrors sequence_violations: the lag rides chunked
+    (conv_id, turn_idx div chunk) windows with carry rows routed to the
+    next chunk that has rows, and the cumulative session counter is a
+    chunk-local running sum plus a per-chunk prefix offset computed on
+    the TINY per-(conv, chunk) summary frame — the hot conversation
+    never serializes into one window task, and no payload column ever
+    enters a shuffle."""
+    slim = turns.select("conv_id", "turn_idx", "ts")
+    chunk_of = F.floor(F.col("turn_idx") / chunk).cast("bigint")
+    base = slim.select("*", chunk_of.alias("_chunk"), F.lit(False).alias("_carry"))
+    cw = Window.partitionBy("conv_id").orderBy("_chunk")
+    carry = (
+        slim.groupBy("conv_id", chunk_of.alias("_chunk"))
+        .agg(F.max(F.struct("turn_idx", "ts")).alias("_m"))
+        .withColumn("_next", F.lead("_chunk").over(cw))
+        .where(F.col("_next").isNotNull())
+        .select(
+            "conv_id",
+            F.col("_m.turn_idx").alias("turn_idx"),
+            F.col("_m.ts").alias("ts"),
+            F.col("_next").alias("_chunk"),
+            F.lit(True).alias("_carry"),
+        )
+    )
+    w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
+    flagged = (
+        base.unionByName(carry)
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .where(~F.col("_carry"))
+        .withColumn(
+            "_new_sess",
+            (
+                F.col("_prev_ts").isNull()
+                # cast: unix_micros rejects TIMESTAMP_NTZ inputs; the
+                # session timezone is pinned UTC so the cast is lossless
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+                    > gap_us
+                )
+            ).cast("bigint"),
+        )
+    )
+    run = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = flagged.withColumn("_local_cum", F.sum("_new_sess").over(run))
+    # prefix offsets over the per-chunk totals — one row per (conv, chunk)
+    totals = flagged.groupBy("conv_id", "_chunk").agg(F.sum("_new_sess").alias("_tot"))
+    off_w = Window.partitionBy("conv_id").orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))).select(
+        "conv_id", "_chunk", "_off"
+    )
+    return (
+        local.join(offsets, ["conv_id", "_chunk"])
+        .select(
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            (F.col("_local_cum") + F.col("_off") - 1).cast("bigint").alias("session_idx"),
+        )
+    )
+
+
 def sequence_violations(
     turns: DataFrame,
     check_monotonic_ts: bool = True,

@@ -402,6 +402,100 @@ GROUP BY o_orderstatus
 """
 
 
+# ------------------------------------------------ sessionization (W3+)
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over the transcript projection: a >6h pause
+    starts a new session (operators/windows.py:sessionize — chunk-split
+    windows + prefix offsets, same skew design as the sequence rules)."""
+    from sgb_data_validator_spark.operators.windows import sessionize
+    from sgb_data_validator_spark.plans.extra_queries import _events_as_turns
+
+    return sessionize(_events_as_turns(spark, sf_dir), gap_us=SESSION_GAP_US)
+
+
+SQL_SESSIONIZE = f"""
+WITH turns AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         ts
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pts
+  FROM turns
+),
+f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS flag
+  FROM w
+)
+SELECT conv_id, cast(turn_idx AS int) AS turn_idx,
+       cast(sum(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS bigint) AS session_idx
+FROM f
+"""
+
+
+# ------------------------------------------- top-k frequent values (A4)
+
+def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 languages per source — the value-distribution block of the
+    profiling report (operators/stats.py:top_values)."""
+    from sgb_data_validator_spark.operators.stats import top_values
+
+    docs = _t(spark, sf_dir, "documents").withColumn("part", F.col("source"))
+    return top_values(docs, "lang", k=3)
+
+
+SQL_TOP_VALUES = """
+WITH c AS (
+  SELECT source AS part, lang AS value, cast(count(*) AS bigint) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT part, value, n,
+         cast(row_number() OVER (PARTITION BY part ORDER BY n DESC, value ASC) AS int) AS rank
+  FROM c
+)
+SELECT part, value, n, rank FROM r WHERE rank <= 3
+"""
+
+
+# --------------------------------------- stratified sampling (curation)
+
+SAMPLE_RATES_BP = {"en": 5_000, "de": 2_500, "fr": 1_000, "es": 100, "zh": 0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling of documents
+    (operators/sampling.py): md5 basis-point rule, replayed exactly by
+    the SQL twin — same rows kept on both engines."""
+    from sgb_data_validator_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES_BP).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN {bp}" for s, bp in sorted(SAMPLE_RATES_BP.items())
+) + " ELSE 0 END"
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT cast(doc_id AS bigint) AS doc_id, lang
+FROM documents
+WHERE (('0x' || substr(md5(lang || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT) % 10000
+      < {_RATE_CASE}
+"""
+
+
 COVERAGE_QUERIES: dict[str, tuple] = {
     "iso639_lang": (q_iso639_lang, SQL_ISO639_LANG),
     "iconclass_hierarchy": (q_iconclass_hierarchy, SQL_ICONCLASS_HIERARCHY),
@@ -412,4 +506,7 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "backup_restore": (q_backup_restore, SQL_BACKUP_RESTORE),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "top_values": (q_top_values, SQL_TOP_VALUES),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

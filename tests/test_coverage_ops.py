@@ -167,6 +167,67 @@ def test_transform_literal_only(spark):
     assert ("literal", None) in got       # null passthrough
 
 
+# --- sessionization -------------------------------------------------------
+
+def test_sessionize_matches_plain_window(spark):
+    """Chunked sessionize (chunk=3, forcing cross-chunk carries and
+    prefix offsets) must equal the unchunked definition."""
+    import datetime as dt
+
+    from sgb_data_validator_spark.operators.windows import sessionize
+
+    rows = []
+    ts = dt.datetime(2026, 1, 5, 0, 0)
+    for i in range(10):
+        # gaps > 1h before idx 4 and idx 8 → sessions 0,0,0,0,1,1,1,1,2,2
+        if i in (4, 8):
+            ts += dt.timedelta(hours=2)
+        else:
+            ts += dt.timedelta(minutes=5)
+        rows.append(("c1", i, ts))
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        r.turn_idx: r.session_idx
+        for r in sessionize(turns, gap_us=3600 * 1_000_000, chunk=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 1, 8: 2, 9: 2}
+
+
+# --- top-k frequent values -------------------------------------------------
+
+def test_top_values_deterministic_ties(spark):
+    from sgb_data_validator_spark.operators.stats import top_values
+
+    df = spark.createDataFrame(
+        [("p", "b")] * 2 + [("p", "a")] * 2 + [("p", "c")] * 3 + [("p", None)],
+        "part string, v string",
+    )
+    got = [(r.value, r.n, r.rank) for r in top_values(df, "v", k=2).orderBy("rank").collect()]
+    # c wins on count; a beats b on the value tiebreak; nulls excluded
+    assert got == [("c", 3, 1), ("a", 2, 2)]
+
+
+# --- stratified sampling ---------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from sgb_data_validator_spark.operators.sampling import stratified_sample
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de")).alias("lang"),
+    )
+    rates = {"en": 5_000, "de": 500}
+    s1 = {r.k for r in stratified_sample(df, "k", "lang", rates).collect()}
+    s2 = {r.k for r in stratified_sample(df.repartition(7), "k", "lang", rates).collect()}
+    assert s1 == s2  # same rows regardless of partitioning
+    en = sum(1 for k in s1 if k % 2 == 0) / 5_000
+    de = sum(1 for k in s1 if k % 2 == 1) / 5_000
+    assert abs(en - 0.5) < 0.05 and abs(de - 0.05) < 0.02
+    # absent stratum defaults to drop
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert stratified_sample(df2, "k", "lang", rates).count() == 0
+
+
 # --- connected components over dedup pairs -------------------------------
 
 def test_dedup_clusters_transitive(spark):
