@@ -108,6 +108,18 @@ def test_whole_stage_codegen_row_rules(spark, turns_parquet):
     assert plan.split("\n\n")[0].count("Scan parquet") == 1
 
 
+def test_sessionize_never_shuffles_payload(spark, turns_parquet):
+    """Sessionize reads only (conv_id, turn_idx, ts): the text payload
+    must not appear in the scan schema, and the windows ride the chunked
+    (conv_id, chunk) keys like the sequence rules."""
+    from sgb_data_validator_spark.operators.windows import sessionize
+
+    turns = spark.read.parquet(turns_parquet)
+    plan = plan_of(sessionize(turns, gap_us=3_600_000_000))
+    for section in plan.split("ReadSchema")[1:]:
+        assert "text" not in section.splitlines()[0]
+
+
 def test_rollup_is_single_pass(spark):
     """A6 rollup: subtotals come from ONE Expand + one partial/final
     aggregate pair with a single exchange — not one scan per grouping
