@@ -85,20 +85,29 @@ def iconclass_special_parts(code: Column) -> Column:
     return F.flatten(F.transform(F.sequence(F.lit(1), F.size(segs)), expand))
 
 
-def iconclass_is_valid(code: Column, vocabulary: list[str]) -> Column:
-    """True iff ``code`` is format-valid and hierarchically reaches the
-    vocabulary. Vocabulary rides as a literal array (the reference set is
-    a few hundred codes) — pure codegen, broadcast-free."""
-    vocab = F.array(*[F.lit(v) for v in vocabulary])
-    format_ok = (
+def iconclass_format_ok(code: Column) -> Column:
+    """Charset + non-empty + balanced-paren grammar gate."""
+    return (
         code.rlike(ICONCLASS_CHARSET)
         & (F.trim(code) != "")
         & code.rlike(ICONCLASS_WELL_FORMED)
     )
-    member = F.exists(vocab, lambda v: code.startswith(v)) | F.arrays_overlap(
+
+
+def iconclass_member_ok(code: Column, vocabulary: list[str]) -> Column:
+    """Hierarchical membership against a literal vocabulary array:
+    startswith-any (covers every prefix part) OR a special part present."""
+    vocab = F.array(*[F.lit(v) for v in vocabulary])
+    return F.exists(vocab, lambda v: code.startswith(v)) | F.arrays_overlap(
         iconclass_special_parts(code), vocab
     )
-    return format_ok & member
+
+
+def iconclass_is_valid(code: Column, vocabulary: list[str]) -> Column:
+    """True iff ``code`` is format-valid and hierarchically reaches the
+    vocabulary. Vocabulary rides as a literal array (the reference set is
+    a few hundred codes) — pure codegen, broadcast-free."""
+    return iconclass_format_ok(code) & iconclass_member_ok(code, vocabulary)
 
 
 def iconclass_violations(
@@ -110,20 +119,12 @@ def iconclass_violations(
 ) -> DataFrame:
     """Violation rows for notations that fail the format gate
     (`iconclass.format`) or never reach the vocabulary
-    (`iconclass.member`). One codegen projection — no join, no shuffle."""
+    (`iconclass.member`). One codegen projection — no join, no shuffle.
+    Composes the same predicates as :func:`iconclass_is_valid`."""
     code = F.col(code_col)
-    format_bad = code.isNotNull() & ~(
-        code.rlike(ICONCLASS_CHARSET)
-        & (F.trim(code) != "")
-        & code.rlike(ICONCLASS_WELL_FORMED)
-    )
-    member_bad = code.isNotNull() & ~format_bad & ~(
-        F.exists(
-            F.array(*[F.lit(v) for v in vocabulary]), lambda v: code.startswith(v)
-        )
-        | F.arrays_overlap(
-            iconclass_special_parts(code), F.array(*[F.lit(v) for v in vocabulary])
-        )
+    format_bad = code.isNotNull() & ~iconclass_format_ok(code)
+    member_bad = (
+        code.isNotNull() & ~format_bad & ~iconclass_member_ok(code, vocabulary)
     )
     return df.where(format_bad | member_bad).select(
         F.when(format_bad, F.lit("iconclass.format"))

@@ -91,6 +91,25 @@ def test_iconclass_native_matches_python(spark):
         assert (str(i) in flagged) == expect_bad, f"case {c!r}"
 
 
+def test_iconclass_is_valid_column(spark):
+    """The Column-level validity predicate agrees with the Python path
+    (and with the violations operator it composes)."""
+    from sgb_data_validator_spark.operators.iconclass import (
+        iconclass_is_valid as col_valid,
+    )
+
+    vocab = ["11H(...)", "25F23", "11H(+3)"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(NATIVE_CASES)], "id int, code string"
+    )
+    got = {
+        r["id"]: r["ok"]
+        for r in df.select("id", col_valid(F.col("code"), vocab).alias("ok")).collect()
+    }
+    for i, c in enumerate(NATIVE_CASES):
+        assert got[i] == iconclass_is_valid(c, set(vocab)), f"case {c!r}"
+
+
 def test_iconclass_native_rule_split(spark):
     vocab = ["11H"]
     df = spark.createDataFrame(
