@@ -67,11 +67,18 @@ def word_shingles(text: Column, n: int = 1, lowercase: bool = True) -> Column:
 
 def has_shingles(text: Column, n: int) -> Column:
     """Cheap precondition equivalent to ``size(word_shingles(text, n)) > 0``:
-    at least ``n`` words (and non-null). Used as the pre-banding filter —
+    non-blank and at least ``n`` words. Used as the pre-banding filter —
     filtering on the COMPUTED hash array instead lets Catalyst push the
     predicate below the projection and re-evaluate the whole md5 chain
-    twice (measured 2× on the minhash/simhash passes)."""
-    return F.size(F.split(F.trim(F.lower(text)), r"\s+")) >= n
+    twice (measured 2× on the minhash/simhash passes).
+
+    The ``trim != ''`` term matters for n=1: split('') yields [''] (size
+    1 ≥ 1), so without it every empty/whitespace-only doc would shingle
+    to the same [''] set, share all band keys, and re-create the one
+    giant bucket this guard exists to kill."""
+    return (F.trim(text) != "") & (
+        F.size(F.split(F.trim(F.lower(text)), r"\s+")) >= n
+    )
 
 
 def canonical_fingerprint(text: Column) -> Column:

@@ -77,6 +77,12 @@ def propagate_private_flag(
     (/root/reference/src/transformations.py:853-908 — dict of
     item_id → has_private_media, flags only ever flip public→private).
 
+    NULL-parent contract: a parent whose own flag is NULL propagates as
+    NULL unless a private child forces it to False — i.e. propagation
+    only ever *lowers* the flag (public→private), never invents a value
+    for an unset one. Callers filtering on the effective flag must
+    handle NULL explicitly (as they must for the raw flag).
+
     Scale shape: children reduce to one boolean per parent key via a
     partial-aggregated groupBy (map-side combine absorbs hot parents —
     min() is combinable), then a key-only join back to parents; the
@@ -88,9 +94,15 @@ def propagate_private_flag(
         .agg(F.min(F.coalesce(F.col(child_flag), F.lit(True))).alias("__children_public"))
     )
     joined = parents.join(child_pub, parents[parent_key] == F.col("__pk"), "left")
+    # when-form of `parent & children_public`, spelled to make the
+    # only-flips-public→private contract explicit: a private child wins
+    # outright (even over a NULL parent); otherwise the parent's own
+    # flag — NULL included — passes through untouched
     return joined.withColumn(
         f"effective_{parent_flag}",
-        F.col(parent_flag) & F.coalesce(F.col("__children_public"), F.lit(True)),
+        F.when(~F.coalesce(F.col("__children_public"), F.lit(True)), F.lit(False)).otherwise(
+            F.col(parent_flag)
+        ),
     ).drop("__pk", "__children_public")
 
 

@@ -410,6 +410,11 @@ def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _VIOLATIONS_CACHE.get(key)
     if cached is not None:
         return cached
+    # single-entry cache: evict (and unpersist) everything else so a long
+    # session benchmarking several sf_dirs neither leaks executor storage
+    # nor serves stale frames after the data at an old key is regenerated
+    for old_key in list(_VIOLATIONS_CACHE):
+        _VIOLATIONS_CACHE.pop(old_key).unpersist()
     v = (
         q_row_rules(spark, sf_dir)
         .unionByName(q_unique(spark, sf_dir))
@@ -418,6 +423,12 @@ def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     _VIOLATIONS_CACHE[key] = v
     return v
+
+
+def clear_violations_cache() -> None:
+    """Explicit eviction hook for harnesses that regenerate data mid-app."""
+    for key in list(_VIOLATIONS_CACHE):
+        _VIOLATIONS_CACHE.pop(key).unpersist()
 
 
 _SQL_ALL_VIOLATIONS = " UNION ALL ".join(

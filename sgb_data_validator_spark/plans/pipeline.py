@@ -96,8 +96,18 @@ def compute_violations(t: TranscriptTables, row_rules: R.RowRuleSet | None = Non
         # records are excluded from content checks, validate.py:701-716)
         drift_input = t.turns.where(F.col("role").isin(ROLES) | F.col("role").isNull())
         if t.allowed_tools is not None:
-            tools = [r[0] for r in t.allowed_tools.select("tool").collect()]
-            drift_input = drift_input.where(F.col("tool").isNull() | F.col("tool").isin(tools))
+            # broadcast left join + marker instead of collect()+isin: the
+            # tool gate stays plan-side (no driver round-trip), null-tool
+            # rows pass through, and the dim broadcasts like every other
+            # dimension join in this pipeline
+            allowed = F.broadcast(
+                t.allowed_tools.select("tool").distinct().withColumn("__tool_ok", F.lit(True))
+            )
+            drift_input = (
+                drift_input.join(allowed, "tool", "left")
+                .where(F.col("tool").isNull() | F.col("__tool_ok"))
+                .drop("__tool_ok")
+            )
         v = v.unionByName(drift_ops.drift_violations(drift_input, t.baseline_stats))
     return v
 

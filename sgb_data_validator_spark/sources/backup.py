@@ -11,10 +11,11 @@ the manifest before touching anything.
 Spark-first shape: each table lands as JSON lines (the reference's
 format) written in parallel; the manifest carries the exact schema so
 the restore read is explicit-schema — schema inference over a 100 TB
-backup would be a full extra pass. Counting for the manifest is one
-job per table (the backup is already a full read; the count rides the
-same scan pattern). The manifest itself is a driver-side file: it is
-O(tables), not O(rows).
+backup would be a full extra pass. The manifest row count rides the
+write job itself via ``df.observe`` (an accumulator-backed aggregate on
+the rows as they stream to the sink) — ONE scan per table per backup,
+not a write plus a second counting read. The manifest itself is a
+driver-side file: it is O(tables), not O(rows).
 """
 
 from __future__ import annotations
@@ -22,7 +23,8 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 MANIFEST = "manifest.json"
@@ -30,14 +32,16 @@ MANIFEST = "manifest.json"
 
 def backup_tables(tables: dict[str, DataFrame], backup_dir: str) -> dict:
     """Write every table as JSON lines + a manifest with row counts and
-    schemas. Returns the manifest dict."""
+    schemas. Returns the manifest dict. Row counts are observed on the
+    write job (no second scan)."""
     manifest: dict = {"tables": {}}
     for name, df in tables.items():
         path = os.path.join(backup_dir, name)
-        df.write.mode("overwrite").json(path)
+        obs = Observation(f"backup_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").json(path)
         manifest["tables"][name] = {
             "path": path,
-            "rows": df.count(),
+            "rows": obs.get["rows"],
             "schema": df.schema.json(),
         }
     os.makedirs(backup_dir, exist_ok=True)

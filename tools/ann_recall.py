@@ -30,9 +30,16 @@ def topk_sets(df) -> tuple[dict, dict]:
 
 
 def recall(approx: dict, exact: dict, k: int) -> float:
+    """recall@k: per-query overlap normalized by min(k, |exact set|) —
+    a query with fewer than k exact neighbors (ties / tiny corpora) can
+    still reach 1.0, but never inflates past it."""
     if not exact:
         return 0.0
-    tot = sum(len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items())
+    tot = sum(
+        len(approx.get(q, set()) & nbrs) / min(k, len(nbrs))
+        for q, nbrs in exact.items()
+        if nbrs
+    )
     return round(tot / len(exact), 4)
 
 
