@@ -173,6 +173,29 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "hashpartitioning(out_id" not in plan
 
 
+def test_verify_jaccard_broadcast_is_count_gated(spark):
+    """verify_jaccard_pairs: candidate pairs broadcast only under the
+    gate; above it the pair joins must degrade to shuffled joins keyed
+    by id (a flooded LSH band must cost a narrow shuffle, not a
+    build-side OOM)."""
+    from sgb_data_validator_spark.operators.dedup import verify_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared text") for i in range(8)], "id int, text string"
+    )
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "id_a int, id_b int")
+
+    small = plan_of(verify_jaccard_pairs(cand, docs, "id", "text"))
+    assert "BroadcastHashJoin" in small.split("\n\n")[0]
+
+    big = plan_of(
+        verify_jaccard_pairs(cand, docs, "id", "text", broadcast_max_pairs=1)
+    )
+    tree = big.split("\n\n")[0]
+    assert "BroadcastHashJoin" not in tree
+    assert "ShuffledHashJoin" in tree or "SortMergeJoin" in tree
+
+
 def test_exact_dedup_single_narrow_shuffle(spark):
     """exact_duplicates: one hash exchange on the fingerprint, window
     aggregates over it, NO join and NO broadcast — the round-1 form
