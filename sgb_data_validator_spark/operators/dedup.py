@@ -311,10 +311,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     silently emitting half-merged clusters. Per round: one self-join of
     the (src, label) frame against the edge list and a min-aggregate —
     all narrow (id, id) rows, never payloads. ``localCheckpoint`` cuts
-    the lineage each round so the plan does not grow exponentially; at
-    10^12-edge scale swap propagation for the alternating small-star /
-    large-star contraction (same join primitives, O(log n) rounds) and
-    reliable checkpoint() to cluster storage.
+    the lineage each round so the plan does not grow exponentially.
+    Sizing rule: max_iterations must exceed the largest expected cluster
+    DIAMETER — right for shallow hub-and-spoke dup graphs; for deep or
+    unknown topology (chains of templated boilerplate, 10^12-edge
+    graphs) use ``dedup_clusters_star``, which converges in O(log n)
+    rounds independent of diameter.
 
     Input: (id_a, id_b) pair frame (extra columns ignored). Output:
     (doc_id, cluster_id) for every id that appears in a pair."""
@@ -353,6 +355,86 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
     edges.unpersist()
     return labels.select(F.col("src").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node attaches its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Emits
+    (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("u"), F.col("mn")).alias("m")
+    )
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge larger→smaller, then attach
+    each node's smaller neighbors (and itself) to the minimum one."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    re_linked = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_links = m.select("u", F.col("m").alias("v"))
+    return (
+        re_linked.unionByName(self_links)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components via alternating small-star / large-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — a published algorithm, re-expressed as
+    DataFrame joins): converges in O(log n) rounds regardless of
+    component DIAMETER, unlike min-label propagation whose round count
+    IS the diameter. This is the scale path for chain-shaped near-dup
+    graphs (templated boilerplate with drift), where propagation's
+    20-round backstop trips.
+
+    Each round is two narrow self-joins + min-aggregates over (id, id)
+    edges — same primitives and shuffle shape as dedup_clusters, just a
+    different contraction rule. Convergence test: the oriented edge set
+    reaches a fixed point (stars centered at component minima).
+    ``localCheckpoint`` cuts lineage per round.
+
+    Same contract as dedup_clusters: input (id_a, id_b); output
+    (doc_id, cluster_id) for every id appearing in a pair."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        unchanged = (
+            new.count() == edges.count()
+            and new.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iterations} rounds"
+        )
+    # at the fixed point every edge points node → component-min (a star)
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.unionByName(roots)
 
 
 # ---------------------------------------------------------------- jaccard

@@ -173,6 +173,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as q_dedup_clusters, computed with the
+    diameter-independent small-star/large-star contraction
+    (operators/dedup.py:dedup_clusters_star) — the 10^12-edge path.
+    Identical output ⇒ shares the recursive-CTE oracle."""
+    pairs = D.minhash_candidate_pairs(
+        _docs_with_twins(spark, sf_dir), "doc_id", "text",
+        k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2,
+    )
+    return D.dedup_clusters_star(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_sql_minhash_cte()},
 edges AS (
@@ -550,6 +565,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),

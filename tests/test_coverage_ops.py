@@ -273,6 +273,44 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         dedup_clusters(pairs, max_iterations=1)
 
 
+def test_dedup_clusters_star_matches_propagation(spark):
+    from sgb_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    # mixed topology: chain, triangle sharing a node, isolated pair,
+    # duplicate + reversed edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 10), (10, 11), (11, 4),
+         (20, 21), (21, 20), (2, 1)],
+        "id_a int, id_b int",
+    )
+    prop = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    star = {r.doc_id: r.cluster_id for r in dedup_clusters_star(pairs).collect()}
+    assert star == prop
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_star_deep_chain(spark):
+    """Diameter-50 chain: propagation's default backstop must trip
+    loudly, star contraction must converge in O(log n) rounds."""
+    import pytest as _pytest
+
+    from sgb_data_validator_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 51)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=20)
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters_star(pairs, max_iterations=10).collect()}
+    assert got == {i: 1 for i in range(1, 52)}
+
+
 # --- backup / restore (S10) ----------------------------------------------
 
 def test_backup_restore_verify(spark, tmp_path):
