@@ -47,7 +47,19 @@ def _udfs():
     def norm_name(s: pd.Series) -> pd.Series:
         return s.map(pytext.normalize_name, na_action="ignore")
 
-    return {"entities_nfc": entities_nfc, "apply_all": apply_all, "norm_name": norm_name}
+    @pandas_udf(StringType())
+    def iconclass_parts_joined(s: pd.Series) -> pd.Series:
+        # exact-parity Iconclass expansion (pytext.iconclass_parts),
+        # parts joined with '|' — covers the exotic notations (unclosed
+        # parens, nested specials) the native codegen path gates out
+        return s.map(lambda n: "|".join(pytext.iconclass_parts(n)), na_action="ignore")
+
+    return {
+        "entities_nfc": entities_nfc,
+        "apply_all": apply_all,
+        "norm_name": norm_name,
+        "iconclass_parts": iconclass_parts_joined,
+    }
 
 
 def entities_nfc_udf(col) -> Column:
@@ -60,3 +72,9 @@ def apply_text_transformations_udf(col) -> Column:
 
 def normalize_name_udf(col) -> Column:
     return _udfs()["norm_name"](col)
+
+
+def iconclass_parts_udf(col) -> Column:
+    """'|'-joined exact-parity Iconclass parts (reference splitter
+    semantics for ALL inputs, including exotic ones)."""
+    return _udfs()["iconclass_parts"](col)

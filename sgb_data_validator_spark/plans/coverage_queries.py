@@ -496,6 +496,80 @@ WHERE (('0x' || substr(md5(lang || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT)
 """
 
 
+# ------------------------------------ Iconclass exact-parity parts (J3)
+
+#: notations exercising the reference splitter's QUIET behaviors —
+#: the ones the native codegen path gates out as format violations
+#: (operators/iconclass.py:32-37): unclosed parens (consumed as base
+#: characters), nested parens (non-greedy match eats '(X(Y'), empty
+#: parens, bare '(+)', plus the well-formed shapes for overlap with the
+#: native path. Reference: /root/reference/src/iconclass.py:64-99,
+#: test/test_iconclass.py:8-154.
+ICONCLASS_EXOTIC = [
+    "11H",
+    "25F23(DOG)",
+    "11H(+31)",
+    "11H(JEROME)(+3)",
+    "11 H",
+    "11.H",
+    "11Hq",
+    "25F23(DOG",       # unclosed paren → base characters
+    "11H(+3",          # unclosed plus-qualifier → base characters
+    "31A(X(Y))",       # nested: splitter matches '(X(Y)' non-greedily
+    "11H()",           # empty parens → base characters
+    "48C(+)",          # bare plus: no incremental keys emitted
+    "25F23(DOG)(+ABC)",
+    "q(...)",          # explicit placeholder in the input
+]
+
+
+def q_iconclass_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-parity Iconclass expansion over a FRAME (pandas UDF on the
+    pure-Python splitter, functions/pytext.py:iconclass_parts): every
+    doc gets a deterministic exotic notation, the UDF expands it, the
+    oracle carries the expected parts as precomputed literals from the
+    same golden-tested splitter. This makes the native path's documented
+    format-gate divergence (operators/iconclass.py:32-37) an executable
+    frame-level check, not just a unit golden."""
+    from sgb_data_validator_spark.functions.vectorized import iconclass_parts_udf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    notation = F.lit(None).cast("string")
+    for i, n in enumerate(ICONCLASS_EXOTIC):
+        notation = F.when(F.col("doc_id") % len(ICONCLASS_EXOTIC) == i, F.lit(n)).otherwise(
+            notation
+        )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        notation.alias("notation"),
+        iconclass_parts_udf(notation).alias("parts"),
+    )
+
+
+def _sql_iconclass_parts() -> str:
+    from sgb_data_validator_spark.functions.pytext import iconclass_parts
+
+    n = len(ICONCLASS_EXOTIC)
+    not_case = "CASE (doc_id % {n}) {w} END".format(
+        n=n,
+        w=" ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(ICONCLASS_EXOTIC)),
+    )
+    parts_case = "CASE (doc_id % {n}) {w} END".format(
+        n=n,
+        w=" ".join(
+            f"WHEN {i} THEN '{'|'.join(iconclass_parts(s))}'"
+            for i, s in enumerate(ICONCLASS_EXOTIC)
+        ),
+    )
+    return f"""
+SELECT cast(doc_id AS bigint) AS doc_id, {not_case} AS notation, {parts_case} AS parts
+FROM documents WHERE doc_id < 200
+"""
+
+
+SQL_ICONCLASS_PARTS = _sql_iconclass_parts()
+
+
 COVERAGE_QUERIES: dict[str, tuple] = {
     "iso639_lang": (q_iso639_lang, SQL_ISO639_LANG),
     "iconclass_hierarchy": (q_iconclass_hierarchy, SQL_ICONCLASS_HIERARCHY),
@@ -509,4 +583,5 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "top_values": (q_top_values, SQL_TOP_VALUES),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "iconclass_parts": (q_iconclass_parts, SQL_ICONCLASS_PARTS),
 }

@@ -405,11 +405,17 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE r
 # ---- text analysis -------------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_pred routes through the pluggable scorer slot
+    (operators/scorers.py) — the default is the oracle-matched
+    marker-set argmax; a model-backed scorer drops in via
+    scorers.set_lang_scorer without touching this query."""
+    from sgb_data_validator_spark.operators import scorers
+
     docs = _t(spark, sf_dir, "documents")
     scores = T.lang_scores(F.col("text"))
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        T.lang_id(F.col("text")).alias("lang_pred"),
+        scorers.lang_id(F.col("text")).alias("lang_pred"),
         *[scores[lang].cast("int").alias(f"s_{lang}") for lang in sorted(T.LANG_MARKERS)],
     )
 
@@ -441,6 +447,9 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score routes through the pluggable scorer slot (see q_lang_id)."""
+    from sgb_data_validator_spark.operators import scorers
+
     docs = _t(spark, sf_dir, "documents")
     f = T.quality_features(F.col("text"))
     return docs.select(
@@ -451,7 +460,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["alpha_bp"].alias("alpha_bp"),
         f["punct_bp"].alias("punct_bp"),
         f["stopword_hits"].alias("stopword_hits"),
-        T.quality_score(F.col("text")).alias("score"),
+        scorers.quality_score(F.col("text")).alias("score"),
     )
 
 

@@ -273,6 +273,22 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         dedup_clusters(pairs, max_iterations=1)
 
 
+def test_iconclass_parts_udf_frame_parity(spark):
+    """The pandas-UDF path over a frame must agree with the pure
+    exact-parity splitter on every exotic notation (unclosed parens,
+    nested specials, empty parens, bare plus)."""
+    from sgb_data_validator_spark.functions.pytext import iconclass_parts
+    from sgb_data_validator_spark.functions.vectorized import iconclass_parts_udf
+    from sgb_data_validator_spark.plans.coverage_queries import ICONCLASS_EXOTIC
+
+    df = spark.createDataFrame([(n,) for n in ICONCLASS_EXOTIC], "notation string")
+    got = {
+        r["notation"]: r["parts"]
+        for r in df.select("notation", iconclass_parts_udf("notation").alias("parts")).collect()
+    }
+    assert got == {n: "|".join(iconclass_parts(n)) for n in ICONCLASS_EXOTIC}
+
+
 def test_dedup_clusters_star_matches_propagation(spark):
     from sgb_data_validator_spark.operators.dedup import (
         dedup_clusters,

@@ -161,6 +161,30 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "de", 3: "und"}
 
 
+def test_pluggable_scorer_swaps_without_query_changes(spark):
+    """A fake model-backed scorer (pandas UDF) must flow into q_lang_id
+    and q_quality_score through the registry, and the defaults must come
+    back after the scope exits — the fastText/BPE drop-in surface."""
+    import pandas as pd
+
+    from sgb_data_validator_spark.operators import scorers
+    from sgb_data_validator_spark.plans.training_queries import q_lang_id, q_quality_score
+
+    sf = "/root/testdata/sf0.001"
+    fake_lang = scorers.batch_scorer(lambda s: pd.Series(["xx"] * len(s)), "string")
+    with scorers.scoped_lang_scorer(fake_lang):
+        preds = {r["lang_pred"] for r in q_lang_id(spark, sf).limit(20).collect()}
+        assert preds == {"xx"}
+    # default restored: heuristic argmax, never 'xx'
+    assert "xx" not in {r["lang_pred"] for r in q_lang_id(spark, sf).limit(20).collect()}
+
+    fake_q = scorers.batch_scorer(
+        lambda s: pd.Series([7] * len(s), dtype="int64"), "bigint"
+    )
+    with scorers.scoped_quality_scorer(fake_q):
+        assert {r["score"] for r in q_quality_score(spark, sf).limit(20).collect()} == {7}
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([("hello, world! it's x2",), ("   ",)], "text string")
     rows = df.select(
