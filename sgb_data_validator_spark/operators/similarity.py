@@ -222,6 +222,46 @@ def knn_ivf(
     return _topk(scored, k)
 
 
+def kmeans_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean_precision: int = 6,
+) -> DataFrame:
+    """One Lloyd k-means iteration over the embedding column — the
+    training step that turns :func:`knn_ivf`'s sampled bootstrap
+    quantizer into real data-adaptive centroids (iterate to taste, then
+    feed the result straight into ivf_assign / knn_ivf's cell join).
+
+    Spark-first shape: assignment is :func:`ivf_assign`'s zero-shuffle
+    broadcast fold; the mean recompute is ONE narrow shuffle of
+    (cid, pos, val) component rows (posexplode), map-side-combined by
+    Spark's partial aggregation — the classic distributed k-means
+    pattern, never a collect. Empty cells drop out (standard Lloyd).
+    Means are rounded to ``mean_precision`` decimals so the result is
+    reproducible across engines and fold orders (same convention as the
+    rounded cosines).
+
+    Returns (cid, cv, cn, n_members) — same (cid, cv, cn) contract the
+    other IVF operators consume."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col, "_vid")
+    comps = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+    means = comps.groupBy("cid", "pos").agg(
+        F.round(F.avg("val"), mean_precision).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rebuilt = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("cv"),
+        F.max("n").cast("bigint").alias("n_members"),
+    )
+    return rebuilt.select(
+        "cid", "cv", dot(F.col("cv"), F.col("cv")).alias("cn"), "n_members"
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

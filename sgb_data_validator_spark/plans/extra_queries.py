@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from sgb_data_validator_spark.operators import rules as R
 from sgb_data_validator_spark.operators import similarity as S
 from sgb_data_validator_spark.plans.training_queries import (
+    DIM,
     KNN_QUERY_MOD,
     _vectors_with_twins,
     SQL_COS,
@@ -445,6 +446,50 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, cos FROM ranked WHERE r
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (operators/similarity.py:
+    kmeans_step): the sampled bootstrap centroids become data-adaptive
+    means. Long-format output (cid, pos, mean, n_members) so the oracle
+    compares scalar cells, not float arrays."""
+    from sgb_data_validator_spark.operators.dedup import dot
+
+    vecs = _vectors_with_twins(spark, sf_dir)
+    cent = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    new_cent = S.kmeans_step(vecs, cent, "vec_id", "v")
+    return new_cent.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.posexplode("cv").alias("pos", "mean"),
+        "n_members",
+    ).select("cid", F.col("pos").cast("int").alias("pos"), "mean", "n_members")
+
+
+SQL_KMEANS_STEP = f"""
+WITH {SQL_VECTORS_TWINS},
+cent AS (SELECT vec_id AS cid, v AS cv FROM alle WHERE vec_id % {CENT_MOD} = 0),
+asg AS (
+  SELECT a.vec_id, a.v, c.cid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {SQL_COS.format(a="a.v", b="c.cv")} DESC, c.cid ASC
+         ) AS rnk
+  FROM alle a CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, v, cid FROM asg WHERE rnk = 1),
+comp AS (SELECT cid, r.i AS pos, v[r.i + 1] AS val FROM cells, range({DIM}) r(i)),
+m AS (
+  SELECT cid, pos, round(avg(val), 6) AS mean, count(*) AS n
+  FROM comp GROUP BY 1, 2
+)
+SELECT cast(cid AS bigint) AS cid, cast(pos AS int) AS pos, mean,
+       cast(n AS bigint) AS n_members
+FROM m
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "streaming_row_rules": (q_streaming_row_rules, SQL_STREAMING_ROW_RULES),
     "streaming_stateful_seq": (q_streaming_stateful_seq, SQL_STREAMING_STATEFUL_SEQ),
@@ -455,4 +500,5 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "cube_summary": (q_cube_summary, SQL_CUBE_SUMMARY),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivf_nprobe": (q_knn_ivf_nprobe, SQL_KNN_IVF_NPROBE),
+    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
 }

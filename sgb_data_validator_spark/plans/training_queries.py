@@ -570,6 +570,75 @@ FROM f
 """
 
 
+# ---- end-to-end curation pipeline ------------------------------------------
+
+CURATION_MIN_SCORE = 60_000
+CURATION_RATES_BP = {"en": 7_500, "de": 5_000, "fr": 2_500}
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation decision — the flagship
+    demonstration that the pieces are one pipeline, not a drawer of
+    parts: quality gate (pluggable scorer) → language gate (pluggable
+    lang-ID) → exact-dedup keep-list (canonical doc per duplicate
+    group) → deterministic per-language stratified sampling. Output is
+    the kept-doc list with its audit columns.
+
+    Scale shape: two scans of documents (score/lang projection + the
+    dedup fingerprint pass), one narrow fingerprint shuffle, a left-anti
+    join against the redundant-id set, and a WHERE-clause sample — text
+    never enters an exchange."""
+    from sgb_data_validator_spark.operators import scorers
+    from sgb_data_validator_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        scorers.lang_id(F.col("text")).alias("lang_pred"),
+        scorers.quality_score(F.col("text")).alias("score"),
+    )
+    redundant = (
+        D.exact_duplicates(docs, "doc_id", "text")
+        .where(F.col("is_redundant"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+    kept = (
+        scored.where(
+            (F.col("score") >= CURATION_MIN_SCORE)
+            & F.col("lang_pred").isin(*CURATION_RATES_BP)
+        )
+        .join(redundant, "doc_id", "left_anti")
+    )
+    return stratified_sample(kept, "doc_id", "lang_pred", CURATION_RATES_BP)
+
+
+_CUR_RATE_CASE = "CASE lang_pred " + " ".join(
+    f"WHEN '{s}' THEN {bp}" for s, bp in sorted(CURATION_RATES_BP.items())
+) + " ELSE 0 END"
+
+SQL_CURATION_PIPELINE = f"""
+WITH lp AS ({SQL_LANG_ID.strip()}),
+q AS ({SQL_QUALITY_SCORE.strip()}),
+f AS (
+  SELECT doc_id, md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fp
+  FROM documents
+),
+g AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1),
+red AS (SELECT f.doc_id FROM f JOIN g USING (fp) WHERE f.doc_id <> g.keep),
+kept AS (
+  SELECT lp.doc_id, lp.lang_pred, q.score
+  FROM lp JOIN q USING (doc_id)
+  WHERE q.score >= {CURATION_MIN_SCORE}
+    AND lp.lang_pred IN ({", ".join(f"'{s}'" for s in sorted(CURATION_RATES_BP))})
+    AND lp.doc_id NOT IN (SELECT doc_id FROM red)
+)
+SELECT cast(doc_id AS bigint) AS doc_id, lang_pred, cast(score AS bigint) AS score
+FROM kept
+WHERE (('0x' || substr(md5(lang_pred || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT) % 10000
+      < {_CUR_RATE_CASE}
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -586,4 +655,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
 }

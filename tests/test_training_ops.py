@@ -161,6 +161,33 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "de", 3: "und"}
 
 
+def test_kmeans_step_exact_means(spark):
+    """One Lloyd iteration on a hand-checkable 2-cell layout: vectors
+    near [1,0] go to centroid 10, near [0,1] to centroid 20, and the new
+    centroids are the exact member means."""
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import kmeans_step
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.8, 0.0]),
+        (4, [0.0, 1.0]), (5, [0.1, 0.9]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "cid int, cv array<double>"
+    ).withColumn("cn", dot(F.col("cv"), F.col("cv")))
+    got = {r["cid"]: (r["cv"], r["n_members"]) for r in kmeans_step(vecs, cent, "vec_id", "v").collect()}
+    assert got[10] == ([0.9, 0.033333], 3)
+    assert got[20] == ([0.05, 0.95], 2)
+    # a second iteration from the new centroids keeps the same cells →
+    # identical means (converged)
+    new_cent = kmeans_step(vecs, cent, "vec_id", "v").select("cid", "cv", "cn")
+    again = {r["cid"]: r["cv"] for r in kmeans_step(vecs, new_cent, "vec_id", "v").collect()}
+    assert again == {cid: cv for cid, (cv, _n) in got.items()}
+
+
 def test_pluggable_scorer_swaps_without_query_changes(spark):
     """A fake model-backed scorer (pandas UDF) must flow into q_lang_id
     and q_quality_score through the registry, and the defaults must come

@@ -184,7 +184,14 @@ def orchestrate() -> None:
 
     sub(["--setup"])
     if MODE == "local-cluster":
-        sizes = (EXECS_N, 4 * EXECS_N)
+        # SCALING_BENCH_SIZES="1,2,4" measures a multi-point efficiency
+        # CURVE (first and last entries are the N / 4N pair for the
+        # summary); default stays the two-point N vs 4N pair
+        sizes_env = os.environ.get("SCALING_BENCH_SIZES")
+        if sizes_env:
+            sizes = tuple(int(s) for s in sizes_env.split(","))
+        else:
+            sizes = (EXECS_N, 4 * EXECS_N)
         # pin to executor cores + 2 driver CPUs: on a real cluster the
         # driver is not stealing executor cores, and the executor CPU
         # budget must scale exactly 4× between the two arms
@@ -203,18 +210,32 @@ def orchestrate() -> None:
         results[size] = json.loads(sub(["--run", str(size)], cpus=pin))
         print(json.dumps(results[size]))
     tps_n = results[sizes[0]]["turns_per_sec"]
-    tps_4n = results[sizes[1]]["turns_per_sec"]
+    tps_4n = results[sizes[-1]]["turns_per_sec"]
     eff = tps_4n / (4 * tps_n)
     summary = {
         "metric": metric,
         "mode": MODE,
         "rows": results[sizes[0]]["rows"],
         "n": sizes[0],
-        "4n": sizes[1],
+        "4n": sizes[-1],
         "cores_n": results[sizes[0]]["cores"],
-        "cores_4n": results[sizes[1]]["cores"],
+        "cores_4n": results[sizes[-1]]["cores"],
         "turns_per_sec_n": tps_n,
         "turns_per_sec_4n": tps_4n,
+        "violations_per_arm": {str(sz): results[sz]["violations"] for sz in sizes},
+        "curve": [
+            {
+                "executors": sz,
+                "cores": results[sz]["cores"],
+                "turns_per_sec": results[sz]["turns_per_sec"],
+                "efficiency_vs_first": round(
+                    results[sz]["turns_per_sec"]
+                    / (results[sizes[0]]["turns_per_sec"] * sz / sizes[0]),
+                    3,
+                ),
+            }
+            for sz in sizes
+        ],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
