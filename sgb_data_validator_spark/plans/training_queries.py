@@ -592,11 +592,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgb_data_validator_spark.operators.sampling import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
+    # persist() is load-bearing, not a cache nicety: the quality/lang
+    # gates and the sampling hash all reference lang_pred/score, and
+    # without a materialization barrier Catalyst substitutes the full
+    # scorer CASE trees into the filter AND the md5 — an expression so
+    # large it falls out of codegen (no subexpression elimination) and
+    # re-evaluates the splits dozens of times per row (measured 25×:
+    # 0.2 s scored vs 5.4 s fused at sf0.1). The persisted frame is
+    # (id, lang, score) — tiny at any corpus size.
     scored = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         scorers.lang_id(F.col("text")).alias("lang_pred"),
         scorers.quality_score(F.col("text")).alias("score"),
-    )
+    ).persist()
     redundant = (
         D.exact_duplicates(docs, "doc_id", "text")
         .where(F.col("is_redundant"))

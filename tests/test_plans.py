@@ -173,6 +173,29 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "hashpartitioning(out_id" not in plan
 
 
+def test_kmeans_step_shuffles_only_component_rows(spark):
+    """kmeans_step: assignment must stay the zero-shuffle broadcast fold
+    (no Window), and every hash exchange must carry cid-keyed component
+    rows — the fact is never hash-partitioned by vector id."""
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import kmeans_step
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias("v"),
+    )
+    cent = vecs.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    plan = plan_of(kmeans_step(vecs, cent, "vec_id", "v"))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert hash_exchanges and all("cid" in l for l in hash_exchanges)
+    assert "hashpartitioning(vec_id" not in plan and "hashpartitioning(_vid" not in plan
+
+
 def test_verify_jaccard_broadcast_is_count_gated(spark):
     """verify_jaccard_pairs: candidate pairs broadcast only under the
     gate; above it the pair joins must degrade to shuffled joins keyed
