@@ -1,0 +1,117 @@
+"""as-of join and range join: semantics + the physical shapes they
+exist for (single-shuffle window, hash join instead of nested-loop)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.temporal import as_of_join, range_join
+from tests.test_plans import plan_of
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00")),
+            (2, 10, _ts("2024-01-01 00:00:00")),  # before any right row
+            (3, 20, _ts("2024-01-01 00:05:00")),  # equal-ts right row qualifies
+            (4, 30, _ts("2024-01-01 00:05:00")),  # key with no right rows
+        ],
+        "lid bigint, k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:04:00")),
+            (101, 10, _ts("2024-01-01 00:09:00")),  # latest before lid=1
+            (102, 10, _ts("2024-01-01 00:11:00")),  # after lid=1 — excluded
+            (103, 20, _ts("2024-01-01 00:05:00")),  # tie ts, lower id
+            (104, 20, _ts("2024-01-01 00:05:00")),  # tie ts, higher id wins
+        ],
+        "rid bigint, k bigint, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_basic_semantics(spark):
+    left, right = _frames(spark)
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"])
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got == {1: 101, 2: None, 3: 104, 4: None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = as_of_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"],
+        tolerance_us=30_000_000,  # 30 s: lid=1's match at -60 s goes stale
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got == {1: None, 2: None, 3: 104, 4: None}
+
+
+def test_asof_exposes_matched_ts(spark):
+    left, right = _frames(spark)
+    out = as_of_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"])
+    row = {r["lid"]: r for r in out.collect()}[1]
+    assert row["__asof_ts"] == _ts("2024-01-01 00:09:00")
+
+
+def test_asof_plan_is_single_window_no_join(spark):
+    left, right = _frames(spark)
+    plan = plan_of(
+        as_of_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"])
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "CartesianProduct" not in tree
+    assert tree.count("Window") == 1
+
+
+def test_range_join_boundaries_and_bucket_spans(spark):
+    # interval [100s, 200s) in micros, bucket 60s: spans 3 buckets
+    left = spark.createDataFrame([(1,)], "lid bigint")
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:01:39")),  # 99 s  — below start
+            (2, _ts("2024-01-01 00:01:40")),  # 100 s — inclusive start
+            (3, _ts("2024-01-01 00:02:30")),  # 150 s — inside, other bucket
+            (4, _ts("2024-01-01 00:03:20")),  # 200 s — exclusive end
+        ],
+        "rid bigint, ts timestamp",
+    )
+    base = int(_ts("2024-01-01 00:00:00").replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+    out = range_join(
+        left,
+        right,
+        start_us=F.lit(base + 100_000_000),
+        end_us=F.lit(base + 200_000_000),
+        right_ts="ts",
+        bucket_us=60_000_000,
+    )
+    assert sorted(r["r_rid"] for r in out.collect()) == [2, 3]
+    inclusive = range_join(
+        left, right,
+        start_us=F.lit(base + 100_000_000), end_us=F.lit(base + 200_000_000),
+        right_ts="ts", bucket_us=60_000_000, end_exclusive=False,
+    )
+    assert sorted(r["r_rid"] for r in inclusive.collect()) == [2, 3, 4]
+
+
+def test_range_join_plan_is_hash_join_not_nested_loop(spark):
+    left, right = _frames(spark)
+    plan = plan_of(
+        range_join(
+            left.select("lid", "ts"),
+            right.select("rid", "ts"),
+            start_us=F.unix_micros("ts") - F.lit(300_000_000),
+            end_us=F.unix_micros("ts"),
+            right_ts="ts",
+            bucket_us=300_000_000,
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
+    assert "HashJoin" in tree or "SortMergeJoin" in tree
