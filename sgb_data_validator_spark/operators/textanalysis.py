@@ -125,3 +125,35 @@ def min_word_hash(text: Column) -> Column:
     cheapest rolling-hash-style fingerprint (locality: equal word sets
     ⇒ equal sketch)."""
     return F.array_min(F.transform(_word_set(text), lambda w: portable_hash(w)))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition: word count, distinct-word count, and
+    the repeated-word ratio in integer basis points — the standard
+    boilerplate/spam curation signal (highly repetitive docs are
+    templated or degenerate). Pure codegen projection, zero shuffle;
+    integer bp keeps the oracle comparison exact (no float division)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(words)).cast("bigint")
+    nd = F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(words))
+    ).cast("bigint")
+    rep_bp = F.when(n > 0, F.floor(F.lit(10_000) * (n - nd) / n)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    return {"n_words": n, "n_distinct": nd, "rep_bp": rep_bp}
+
+
+def word_bigrams(text: Column) -> Column:
+    r"""Adjacent word-bigram array ("a b", "b c", ...) over the
+    lowercased whitespace split. Callers must pre-filter to texts with
+    ≥ 2 words ON THE RAW COLUMN (``F.trim(text).rlike(r"\s")`` — any
+    inner whitespace after trim ⇔ ≥ 2 tokens): filtering on
+    size(split(...)) would be pushed below the projection by Catalyst
+    and re-run the split per row, and sequence(1, 0) on a 1-word doc
+    would DESCEND rather than come back empty."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )

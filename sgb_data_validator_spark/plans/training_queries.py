@@ -647,6 +647,74 @@ WHERE (('0x' || substr(md5(lang_pred || chr(31) || doc_id::VARCHAR), 1, 15))::BI
 """
 
 
+# ---- corpus n-gram frequency + repetition quality signal -------------------
+
+NGRAM_TOP_K = 100
+
+
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word bigrams: the standard corpus-stats pass
+    (vocabulary building, contamination spot-checks). Scale shape:
+    explode → partial-agg-combined count on the gram → TakeOrdered
+    top-k (each partition keeps k rows; only k×partitions rows reach
+    the driver-side merge). Deterministic under count ties: total
+    order (n DESC, gram ASC) before the limit."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        # raw-column precondition for ≥2 words (see word_bigrams doc)
+        docs.where(F.col("text").isNotNull() & F.trim(F.col("text")).rlike(r"\s"))
+        .select(F.explode(T.word_bigrams(F.col("text"))).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+SQL_NGRAM_FREQ = f"""
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+  WHERE text IS NOT NULL AND regexp_matches(trim(text), '\\s')
+),
+g AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+)
+SELECT gram, count(*) AS n FROM g GROUP BY 1
+ORDER BY n DESC, gram ASC LIMIT {NGRAM_TOP_K}
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-word ratio in basis points — pure projection,
+    zero shuffle, composes with the curation pipeline's quality gate."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.repetition_features(F.col("text"))
+    return docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        feats["n_words"].alias("n_words"),
+        feats["n_distinct"].alias("n_distinct"),
+        feats["rep_bp"].alias("rep_bp"),
+    )
+
+
+SQL_REPETITION_SCORE = """
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS bigint) AS n_words,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) END AS bigint) AS n_distinct,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE (10000 * (len(string_split_regex(lower(trim(text)), '\\s+'))
+                                - len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))))
+                      // len(string_split_regex(lower(trim(text)), '\\s+')) END AS bigint) AS rep_bp
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -664,4 +732,6 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "ngram_freq": (q_ngram_freq, SQL_NGRAM_FREQ),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
 }

@@ -262,3 +262,35 @@ def test_multimodal_features_match_hashlib(spark):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_word_bigrams_and_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # bigrams: "a b","b a","a b"; 4 words, 2 distinct
+            (2, "   solo   "),       # 1 word — no bigrams, rep 0
+            (3, ""),                 # empty — 0 words
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    feats = T.repetition_features(F.col("text"))
+    rows = {
+        r["doc_id"]: (r["n"], r["nd"], r["bp"])
+        for r in df.where(F.col("text").isNotNull())
+        .select("doc_id", feats["n_words"].alias("n"), feats["n_distinct"].alias("nd"),
+                feats["rep_bp"].alias("bp"))
+        .collect()
+    }
+    assert rows[1] == (4, 2, 5000)
+    assert rows[2] == (1, 1, 0)
+    assert rows[3] == (0, 0, 0)
+
+    grams = (
+        df.where(F.col("text").isNotNull() & F.trim(F.col("text")).rlike(r"\s"))
+        .select("doc_id", T.word_bigrams(F.col("text")).alias("g"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["g"] for r in grams} == {1: ["a b", "b a", "a b"]}
