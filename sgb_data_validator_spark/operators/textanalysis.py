@@ -157,3 +157,28 @@ def word_bigrams(text: Column) -> Column:
         F.sequence(F.lit(1), F.size(words) - 1),
         lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
     )
+
+
+# PII patterns — conservative, identical semantics under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround, so a DuckDB
+# twin stays expressible (len(regexp_extract_all(...))) if a corpus
+# ever needs the oracle path; counts are leftmost non-overlapping in
+# both engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "id_number": r"\b\d{9,}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern PII match counts (bigint) — pure codegen
+    regexp_count, zero shuffle, one scan for all patterns; the
+    redaction/filter step composes as a WHERE over these columns. The
+    synthetic corpus contains no PII by construction, so this ships
+    pytest-verified on constructed frames rather than as a vacuous
+    all-zeros driver query."""
+    return {
+        name: F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0)).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }

@@ -715,6 +715,42 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leak check — the train/test contamination
+    detector: every doc whose canonical fingerprint also appears under
+    a DIFFERENT source, with the distinct-source count. Same
+    count-over-window shape as exact dedup (ONE narrow shuffle on the
+    fingerprint, no join, no broadcast); collect_set over the window is
+    bounded by the duplicate-group's source fan-out, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("source"),
+        D.canonical_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.withColumn(
+        "n_sources", F.size(F.collect_set("source").over(w)).cast("bigint")
+    ).where(F.col("n_sources") > 1)
+
+
+SQL_CONTAMINATION = f"""
+WITH f AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, source,
+         md5(array_to_string(list_sort({{WORDSET}}), ' ')) AS fingerprint
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT fingerprint, cast(count(DISTINCT source) AS bigint) AS n_sources
+  FROM f GROUP BY 1
+)
+SELECT f.doc_id, f.source, f.fingerprint, s.n_sources
+FROM f JOIN s USING (fingerprint) WHERE s.n_sources > 1
+""".replace("{WORDSET}", SQL_WORDSET)
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -734,4 +770,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "ngram_freq": (q_ngram_freq, SQL_NGRAM_FREQ),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
 }

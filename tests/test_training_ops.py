@@ -294,3 +294,26 @@ def test_word_bigrams_and_repetition(spark):
         .collect()
     )
     assert {r["doc_id"]: r["g"] for r in grams} == {1: ["a b", "b a", "a b"]}
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.co or c.d+x@e-f.org today"),
+            (2, "server 10.0.0.1 and 192.168.1.255, id 123456789"),
+            (3, "clean text, short digits 12345678"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    counts = T.pii_counts(F.col("text"))
+    rows = {
+        r["doc_id"]: (r["email"], r["ipv4"], r["id_number"])
+        for r in df.select("doc_id", *[c.alias(n) for n, c in counts.items()]).collect()
+    }
+    assert rows[1] == (2, 0, 0)
+    assert rows[2] == (0, 2, 1)
+    assert rows[3] == (0, 0, 0)
+    assert rows[4] == (0, 0, 0)
