@@ -232,3 +232,27 @@ def test_exact_dedup_single_narrow_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "Join" not in tree and "Broadcast" not in tree
+
+
+def test_contamination_single_narrow_shuffle(spark):
+    """Cross-source contamination mirrors exact dedup's shape: ONE hash
+    exchange on the fingerprint, collect_set over the window, no join,
+    no broadcast — the two-pass groupBy+join twin would shuffle the
+    fingerprint frame twice."""
+    from sgb_data_validator_spark.plans.training_queries import q_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "b a", "s2"), (3, "x", "s1")],
+        "doc_id long, text string, source string",
+    )
+    import sgb_data_validator_spark.plans.training_queries as tq
+
+    orig = tq._t
+    tq._t = lambda *_: docs
+    try:
+        plan = plan_of(q_contamination(spark, "unused"))
+    finally:
+        tq._t = orig
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree and "Broadcast" not in tree
