@@ -751,6 +751,66 @@ FROM f JOIN s USING (fingerprint) WHERE s.n_sources > 1
 """.replace("{WORDSET}", SQL_WORDSET)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical selection per duplicate group — the
+    curation-grade upgrade over exact_duplicates' min-id keep: inside
+    each fingerprint group, keep the HIGHEST-quality copy (min doc_id
+    on score ties — a total order, so deterministic). One narrow
+    shuffle: both window specs share the fingerprint partitioning, so
+    Catalyst plans a single exchange feeding both Window ops; the
+    ordered first_value is the argmax without a groupBy+join-back
+    second pass."""
+    from pyspark.sql import Window
+
+    from sgb_data_validator_spark.operators import scorers
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        D.canonical_fingerprint(F.col("text")).alias("fingerprint"),
+        scorers.quality_score(F.col("text")).alias("score"),
+    )
+    wg = Window.partitionBy("fingerprint")
+    wo = Window.partitionBy("fingerprint").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("group_size", F.count(F.lit(1)).over(wg).cast("bigint"))
+        .withColumn("keep_id", F.first("doc_id").over(wo))
+        .where(F.col("group_size") > 1)
+        .select(
+            "doc_id",
+            "fingerprint",
+            "score",
+            "group_size",
+            "keep_id",
+            (F.col("doc_id") != F.col("keep_id")).alias("is_redundant"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH q AS ({SQL_QUALITY_SCORE.strip()}),
+f AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fingerprint
+  FROM documents WHERE text IS NOT NULL
+),
+j AS (
+  SELECT f.doc_id, f.fingerprint, q.score FROM f JOIN q USING (doc_id)
+),
+w AS (
+  SELECT doc_id, fingerprint, score,
+         cast(count(*) OVER (PARTITION BY fingerprint) AS bigint) AS group_size,
+         first_value(doc_id) OVER (
+           PARTITION BY fingerprint ORDER BY score DESC, doc_id ASC
+         ) AS keep_id
+  FROM j
+)
+SELECT doc_id, fingerprint, score, group_size, keep_id,
+       doc_id <> keep_id AS is_redundant
+FROM w WHERE group_size > 1
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -771,4 +831,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "ngram_freq": (q_ngram_freq, SQL_NGRAM_FREQ),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }
