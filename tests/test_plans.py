@@ -256,3 +256,28 @@ def test_contamination_single_narrow_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "Join" not in tree and "Broadcast" not in tree
+
+
+def test_keep_best_single_exchange_two_windows(spark):
+    """dedup_keep_best: the group-size window and the ordered
+    first_value window share the fingerprint partitioning — ONE hash
+    exchange must feed both Window ops (a second exchange would mean
+    Catalyst failed to recognize the shared partitioning), and there is
+    no join anywhere (the argmax is in-window, not groupBy+join-back)."""
+    from sgb_data_validator_spark.plans.training_queries import q_dedup_keep_best
+    import sgb_data_validator_spark.plans.training_queries as tq
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "s1"), (2, "b a c d e f", "s2"), (3, "x y", "s1")],
+        "doc_id long, text string, source string",
+    )
+    orig = tq._t
+    tq._t = lambda *_: docs
+    try:
+        plan = plan_of(q_dedup_keep_best(spark, "unused"))
+    finally:
+        tq._t = orig
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2
+    assert "Join" not in tree
