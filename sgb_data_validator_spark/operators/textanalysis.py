@@ -151,11 +151,19 @@ def word_bigrams(text: Column) -> Column:
     inner whitespace after trim ⇔ ≥ 2 tokens): filtering on
     size(split(...)) would be pushed below the projection by Catalyst
     and re-run the split per row, and sequence(1, 0) on a 1-word doc
-    would DESCEND rather than come back empty."""
+    would DESCEND rather than come back empty.
+
+    Shape: zip_with over two slices of ONE split, not
+    transform(sequence(...), i -> element_at(words, i)) — higher-order
+    lambdas get no common-subexpression elimination, so every
+    element_at access re-evaluates the split: O(n²) per doc, measured
+    10× slower at sf0.1 (same lesson as dedup.shingle_hashes)."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    n1 = F.size(words) - 1
+    return F.zip_with(
+        F.slice(words, 1, n1),
+        F.slice(words, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
 
 
