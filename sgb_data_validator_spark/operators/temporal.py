@@ -17,10 +17,12 @@ tag right rows 0 and left rows 1, union the two sides on a narrow
 projection, sort each key's timeline once, and carry the latest right
 payload forward. ONE hash shuffle on the key, no join operator at all —
 the naive alternative (inequality theta-join + row_number) explodes to
-|L|×|R| per key before pruning. Skew note: a single hot key still
-serializes into one window task; the chunk+carry split used by
-``operators.windows`` (partition the timeline, forward each chunk's
-last payload) is the drop-in remedy when one key exceeds ~10^6 rows.
+|L|×|R| per key before pruning. Skew: a single hot key serializes into
+one window task on the default path; ``bucket_us`` switches to the
+IMPLEMENTED chunk+carry split (time-bucketed windows + a running carry
+over per-bucket summaries — the temporal analog of
+``operators.windows``' turn-index chunks), property-tested equal to
+the single-window output.
 
 range_join buckets time: each right point lands in exactly ONE bucket
 of width ``bucket_us``; each left interval explodes into the buckets it
@@ -57,6 +59,7 @@ def as_of_join(
     right_cols: list[str],
     tolerance_us: int | None = None,
     right_order: str | None = None,
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``right_cols`` from the
     most recent right row with the same ``on`` key and
@@ -65,6 +68,13 @@ def as_of_join(
     (defaults to the first of ``right_cols``) — deterministic output.
     ``tolerance_us`` bounds the lookback: matches older than
     ``left_ts - tolerance_us`` are discarded (payload NULLed).
+
+    ``bucket_us`` switches on the SKEW-SPLIT path: identical output
+    (property-tested), but the per-key window is chunked into time
+    buckets with a carried last-payload, so one hot key (a conversation
+    with 10^8 turns) becomes many bounded tasks instead of one serial
+    sort — choose ``bucket_us`` so a bucket holds ~10^5-10^6 rows of
+    the hottest key. Default (None) is the single-window fast path.
 
     The matched right timestamp is always exposed as ``__asof_ts`` so
     callers can compute gaps without re-joining.
@@ -93,19 +103,70 @@ def as_of_join(
         F.col(order_col).cast("bigint").alias("__o"),
         payload.alias("__p"),
     )
+    u = l2.unionByName(r2)
     # right rows sort BEFORE left rows at the same instant (side 0 < 1):
     # `right_ts <= left_ts` inclusive semantics. last() over the
     # running frame then yields the latest right payload seen so far.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__o")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .where(F.col("__side") == 1)
-    )
+    if bucket_us is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__side", "__o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).where(
+            F.col("__side") == 1
+        )
+    else:
+        # skew-split: chunk each key's timeline into time buckets so no
+        # single window task holds a hot key's full history (the same
+        # chunk+carry idea as operators.windows, keyed by time because
+        # as-of inputs have no dense index). Three bounded passes:
+        #   1. per-(key, bucket) LAST right payload — a combinable
+        #      max_by aggregate (map-side partial, no sort);
+        #   2. carry for each bucket = running last over the per-bucket
+        #      summaries STRICTLY BEFORE it — a window over
+        #      #occupied-buckets rows, thousands of times smaller than
+        #      the data;
+        #   3. the running-last window from the simple path, but
+        #      partitioned by (key, bucket) — task size is bounded by
+        #      bucket occupancy — with the carry as the fallback for
+        #      rows before their bucket's first right row.
+        # The carry join is co-partitioned with the window keys, so the
+        # whole thing is two narrow shuffles of the union frame's keys.
+        u = u.withColumn("__b", F.floor(epoch_us(F.col("__t")) / bucket_us))
+        per_bucket = (
+            u.where(F.col("__side") == 0)
+            .groupBy("__k", "__b")
+            .agg(F.max_by("__p", F.struct("__t", "__o")).alias("__bp"))
+        )
+        # the carry scan must cover buckets holding only LEFT rows too —
+        # a left row whose bucket has no right rows still looks back
+        # through it — so the summary frame is every occupied (key,
+        # bucket), with NULL summaries skipped by the ignorenulls last
+        buckets = u.select("__k", "__b").distinct()
+        wb = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            buckets.join(per_bucket, ["__k", "__b"], "left")
+            .withColumn("__carry", F.last("__bp", ignorenulls=True).over(wb))
+            .select("__k", "__b", "__carry")
+        )
+        win = (
+            Window.partitionBy("__k", "__b")
+            .orderBy("__t", "__side", "__o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            u.join(carry, ["__k", "__b"], "left")
+            .withColumn(
+                "__m",
+                F.coalesce(F.last("__p", ignorenulls=True).over(win), F.col("__carry")),
+            )
+            .where(F.col("__side") == 1)
+        )
     if tolerance_us is not None:
         in_tol = epoch_us(F.col("__m.__asof_ts")) >= (
             epoch_us(F.col("__t")) - F.lit(tolerance_us)

@@ -115,3 +115,72 @@ def test_range_join_plan_is_hash_join_not_nested_loop(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
     assert "HashJoin" in tree or "SortMergeJoin" in tree
+
+
+def _brute_asof(left_rows, right_rows, tolerance_us=None):
+    """O(|L|·|R|) reference: latest right (ts, rid) with ts <= left ts
+    (max rid on ties), within tolerance."""
+    out = {}
+    for lid, k, lt in left_rows:
+        best = None
+        for rid, rk, rt in right_rows:
+            if rk == k and rt <= lt and (tolerance_us is None or (lt - rt).total_seconds() * 1e6 <= tolerance_us):
+                c = (rt, rid)
+                if best is None or c > best:
+                    best = c
+        out[lid] = best[1] if best else None
+    return out
+
+
+def test_asof_modes_match_bruteforce_randomized(spark):
+    """Property check: the single-window path, the bucketized skew-split
+    path (several bucket widths, including ones smaller than the data
+    span so carries really happen), and the brute-force reference all
+    agree on pseudo-random inputs with ties and sparse keys."""
+    import random
+
+    rnd = random.Random(20260817)
+    base = _ts("2024-01-01 00:00:00")
+    left_rows = [
+        (i, rnd.randint(0, 4), base + datetime.timedelta(seconds=rnd.randint(0, 5000)))
+        for i in range(120)
+    ]
+    right_rows = [
+        (1000 + i, rnd.randint(0, 5), base + datetime.timedelta(seconds=rnd.randint(0, 5000)))
+        for i in range(150)
+    ]
+    # force exact-instant ties between sides and within the right side
+    right_rows += [(2000, 0, left_rows[0][2]), (2001, 0, left_rows[0][2])]
+    left = spark.createDataFrame(left_rows, "lid bigint, k bigint, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, k bigint, ts timestamp")
+
+    for tol in (None, 600_000_000):
+        expected = _brute_asof(left_rows, right_rows, tol)
+        for bucket in (None, 450_000_000, 60_000_000, 7_000_000_000):
+            out = as_of_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["rid"], tolerance_us=tol, bucket_us=bucket,
+            )
+            got = {r["lid"]: r["rid"] for r in out.collect()}
+            assert got == expected, f"bucket={bucket} tol={tol}"
+
+
+def test_asof_bucketized_plan_windows_are_bucket_keyed(spark):
+    """The skew-split path must partition its big window by (key,
+    bucket) — the whole point — with the carry window running over the
+    tiny per-bucket summary frame."""
+    left, right = _frames(spark)
+    plan = plan_of(
+        as_of_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], bucket_us=60_000_000,
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    # exactly two windows: the bucketed running-last over the union and
+    # the carry scan over the per-bucket summaries — never a third,
+    # key-only window (that would be the serial hot-key task back)
+    assert tree.count("Window") == 2
+    # the big window's spec is keyed by (key, bucket) — the detail
+    # section prints the windowspecdefinition arguments
+    assert "windowspecdefinition(__k" in plan and "__b" in plan
