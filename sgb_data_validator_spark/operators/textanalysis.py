@@ -167,6 +167,26 @@ def word_bigrams(text: Column) -> Column:
     )
 
 
+def word_trigrams(text: Column) -> Column:
+    r"""Adjacent word-trigram array over the lowercased whitespace
+    split. Same zip_with-over-slices shape as word_bigrams (no
+    element_at in a higher-order lambda — no CSE there, O(n²)).
+    Callers must pre-filter to texts with ≥ 3 words on the raw column
+    (two inner whitespace runs: ``rlike(r"\s+\S+\s")`` after trim)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n2 = F.size(words) - 2
+    pairs = F.zip_with(
+        F.slice(words, 1, n2),
+        F.slice(words, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.zip_with(
+        pairs,
+        F.slice(words, 3, n2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+
 # PII patterns — conservative, identical semantics under Java regex
 # (Spark) and RE2 (DuckDB): no backrefs, no lookaround, so a DuckDB
 # twin stays expressible (len(regexp_extract_all(...))) if a corpus
