@@ -43,6 +43,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--parts", help="comma-separated explicit partition list")
     p.add_argument("--lineage", default="jobs/validate.py")
     p.add_argument(
+        "--table-format",
+        choices=["parquet", "iceberg", "table"],
+        default=None,
+        help="how --turns/--conversations/... resolve: parquet path, "
+        "iceberg V2 load, catalog table name; default infers "
+        "(path → parquet, dotted name → spark.table — which is the "
+        "Iceberg path once the catalog jar is configured)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -106,12 +115,13 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
     from sgb_data_validator_spark.operators.stats import stats_digest
     from sgb_data_validator_spark.plans.pipeline import TranscriptTables, validate
     from sgb_data_validator_spark.sources import sinks
+    from sgb_data_validator_spark.sources.catalog import read_table
     from sgb_data_validator_spark.sources.ledger import Ledger
 
     if args.streaming:
         return run_streaming(spark, args)
 
-    turns = spark.read.parquet(args.turns)
+    turns = read_table(spark, args.turns, args.table_format)
     if args.parts:
         turns = turns.where(F.col("part").isin(args.parts.split(",")))
     ledger = Ledger(spark, args.ledger) if args.ledger else None
@@ -124,9 +134,15 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
 
     t = TranscriptTables(
         turns=turns,
-        conversations=spark.read.parquet(args.conversations) if args.conversations else None,
-        allowed_tools=spark.read.parquet(args.allowed_tools) if args.allowed_tools else None,
-        baseline_stats=spark.read.parquet(args.baseline_stats) if args.baseline_stats else None,
+        conversations=read_table(spark, args.conversations, args.table_format)
+        if args.conversations
+        else None,
+        allowed_tools=read_table(spark, args.allowed_tools, args.table_format)
+        if args.allowed_tools
+        else None,
+        baseline_stats=read_table(spark, args.baseline_stats, args.table_format)
+        if args.baseline_stats
+        else None,
     )
     t0 = time.perf_counter()
     result = validate(t)
