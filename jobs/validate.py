@@ -43,6 +43,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--parts", help="comma-separated explicit partition list")
     p.add_argument("--lineage", default="jobs/validate.py")
     p.add_argument(
+        "--check-schema",
+        action="store_true",
+        help="fail fast (exit 2) if the turns table's schema violates the "
+        "canonical transcript contract (conv_id/turn_idx/role/text/tool/"
+        "ts/part) — a metadata-only check, zero data scanned",
+    )
+    p.add_argument(
         "--table-format",
         choices=["parquet", "iceberg", "table"],
         default=None,
@@ -122,6 +129,17 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         return run_streaming(spark, args)
 
     turns = read_table(spark, args.turns, args.table_format)
+    if args.check_schema:
+        from pyspark.sql.types import StructType
+
+        from sgb_data_validator_spark.operators.schema_check import assert_schema
+        from sgb_data_validator_spark.streaming.incremental import TURN_SCHEMA
+
+        try:
+            assert_schema(spark, turns, StructType.fromDDL(TURN_SCHEMA))
+        except ValueError as exc:
+            print(exc, file=sys.stderr)
+            return 2
     if args.parts:
         turns = turns.where(F.col("part").isin(args.parts.split(",")))
     ledger = Ledger(spark, args.ledger) if args.ledger else None

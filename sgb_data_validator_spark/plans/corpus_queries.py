@@ -176,9 +176,9 @@ GROUP BY t.doc_id
 
 def q_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4's scale path: per-partition distinct counts via HyperLogLog
-    sketches (``approx_count_distinct``, rsd={rsd}) — the north rule
-    names HLL explicitly because exact countDistinct is a full extra
-    shuffle of the key at 10^12 rows, while the sketch rides the
+    sketches (``approx_count_distinct`` at rsd=HLL_RSD) — the north
+    rule names HLL explicitly because exact countDistinct is a full
+    extra shuffle of the key at 10^12 rows, while the sketch rides the
     existing partial aggregation (constant memory per group, mergeable
     across executors exactly like a real multi-node rollup).
 
@@ -187,7 +187,7 @@ def q_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows-only check; the accuracy contract |est−exact|/exact ≤
     3·rsd is asserted in tests/test_corpus_ops.py against the exact
     count on the same frame.
-    """.format(rsd=HLL_RSD)
+    """
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.col("l_returnflag").alias("part"))

@@ -52,6 +52,18 @@ def get_spark(
         # canonical violations/ledger schemas are stable across read paths
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # every distinct plan JIT-compiles its whole-stage-codegen
+        # classes; a long session running many plans (the bench runs
+        # 60+) can fill the default ~240m code cache, after which the
+        # JVM silently disables the JIT compiler and every later query
+        # runs interpreted — measured 3-4x tail slowdowns. 512m holds
+        # the full query battery with headroom.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTIONS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

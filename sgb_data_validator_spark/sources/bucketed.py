@@ -28,6 +28,7 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as an external bucketed table (parquet at
@@ -52,6 +53,12 @@ def write_bucketed(
         .option("path", path)
         .bucketBy(n_buckets, *bucket_cols)
     )
+    if partition_cols:
+        # directory partitioning (pruning) composes with bucketing
+        # (co-location): each task still owns one bucket, writing one
+        # file per (partition, bucket) — files = parts × buckets, the
+        # intended layout, not a small-file blowout
+        writer = writer.partitionBy(*partition_cols)
     # sortBy within buckets lets SortMergeJoin skip its Sort too —
     # note Spark ≥3.0 only surfaces the scan's sort order under
     # spark.sql.legacy.bucketedTableScan.outputOrdering=true
