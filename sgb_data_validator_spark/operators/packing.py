@@ -1,0 +1,86 @@
+"""Sequence packing for LLM pretraining corpora.
+
+Pretraining consumes fixed-length token sequences, not documents: the
+corpus is concatenated in a deterministic order and chunked into packs
+of exactly ``budget`` tokens (documents may span a pack boundary —
+the standard concat-and-chunk regime). The operator answers, for every
+document, WHERE it lands: which pack, at what offset, and whether it
+straddles a boundary — the manifest a data loader needs to build
+packed batches without re-tokenizing.
+
+Spark-first scale shape:
+
+* a GLOBAL concatenation order would be a single-partition window sort
+  (driver-killer at 100 TB). Instead documents are sharded into
+  ``n_buckets`` independent streams by a portable hash of the id —
+  packs never cross buckets, so each bucket packs independently. One
+  hash-partitioned exchange + per-bucket sort; bucket count scales
+  with the cluster (set it ≈ shuffle parallelism).
+* within a bucket the order is (hash(id), id) — deterministic,
+  engine-independent, and decorrelated from ingest order so packs mix
+  sources (the same reason loaders shuffle before packing).
+* all arithmetic is integer (token counts, cumulative sums, floor
+  division) — the DuckDB oracle replays it bit-exactly.
+
+Pack ids are globally unique: ``bucket * PACK_STRIDE + local_pack``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.dedup import portable_hash
+
+#: max packs per bucket — 2^40 packs × budget tokens is far beyond any
+#: single bucket's share even at 100 TB with a small n_buckets.
+PACK_STRIDE = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign every document a (pack_id, offset) under concat-and-chunk
+    packing with ``budget`` tokens per pack, sharded into ``n_buckets``
+    independent streams.
+
+    Returns one row per input row:
+      id, n_tokens, bucket, begin_offset (position in the bucket's
+      concatenated token stream), pack_id (globally unique), offset_in_pack,
+      spans_boundary (true iff the document crosses a pack boundary).
+
+    Zero-token documents are dropped (they occupy no stream positions
+    and would otherwise alias the next document's offset).
+    """
+    toks = F.col(token_col).cast("bigint")
+    bucket = (portable_hash(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
+    base = df.where(toks > 0).select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+        bucket,
+        portable_hash(F.concat_ws("\x1f", F.lit("pack"), F.col(id_col).cast("string"))).alias(
+            "__ord"
+        ),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__ord", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    begin = (cum - F.col("n_tokens")).alias("begin_offset")
+    packed = base.select(
+        "id",
+        "n_tokens",
+        "bucket",
+        begin,
+        (F.col("bucket") * PACK_STRIDE + F.floor(begin / budget)).alias("pack_id"),
+        (begin % budget).alias("offset_in_pack"),
+        # last token of the doc sits at cum-1; compare its pack to the first's
+        (F.floor(begin / budget) != F.floor((cum - 1) / budget)).alias("spans_boundary"),
+    )
+    return packed

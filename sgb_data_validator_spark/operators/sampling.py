@@ -49,3 +49,47 @@ def stratified_sample(
     for stratum, bp in sorted(rates_bp.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(bp)).otherwise(rate)
     return df.where(sample_bucket(F.col(strata_col), F.col(key_col)) < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    keep_rate: bool = False,
+) -> DataFrame:
+    """Temperature resampling of the stratum (language/source) mix —
+    the data-driven upgrade over :func:`stratified_sample`'s hand-set
+    rates. Each stratum s with share p_s is kept at a rate ∝ p_s^(α-1),
+    normalized so the SMALLEST stratum keeps 100%: head strata are
+    downweighted toward the flattened multinomial p_s^α used by
+    multilingual pretraining mixes (α=1 keeps everything, α→0 equalizes).
+
+    rate_bp(s) = floor(round(10000 · (c_min / c_s)^(1-α), 6)), with
+    c_s the stratum row count — computed IN the plan (groupBy counts +
+    a scalar min joined back via broadcast), never collected. Membership
+    is the same portable md5 basis-point rule as stratified_sample, so
+    the kept set is deterministic and engine-replayable; the round-at-
+    6dp-before-floor step absorbs last-ulp pow() differences between
+    engines.
+
+    Scale shape: one map-side-combined count aggregation over the
+    strata (tiny output), a broadcast join of the per-stratum rate back
+    onto the fact scan, then a per-row md5 filter — the fact is never
+    shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col,
+        F.floor(
+            F.round(
+                F.lit(10000)
+                * F.pow(F.col("__cmin").cast("double") / F.col("__c"), F.lit(1.0 - alpha)),
+                6,
+            )
+        ).alias("__rate_bp"),
+    )
+    kept = df.join(F.broadcast(rates), strata_col).where(
+        sample_bucket(F.col(strata_col), F.col(key_col)) < F.col("__rate_bp")
+    )
+    return kept if keep_rate else kept.drop("__rate_bp")

@@ -525,8 +525,10 @@ from sgb_data_validator_spark.plans.extra_queries import EXTRA_QUERIES  # noqa: 
 from sgb_data_validator_spark.plans.coverage_queries import COVERAGE_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.temporal_queries import TEMPORAL_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.corpus_queries import CORPUS_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.packing_queries import PACKING_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
 QUERIES.update(TEMPORAL_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
+QUERIES.update(PACKING_QUERIES)
