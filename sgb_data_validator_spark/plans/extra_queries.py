@@ -202,6 +202,66 @@ FROM w WHERE (pidx IS NULL AND turn_idx <> 0)
 """
 
 
+def q_streaming_windowed_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed verdicts through Structured Streaming
+    (streaming/incremental.py:stream_windowed_verdicts): 1-day tumbling
+    windows with a 2-hour watermark over the transcript projection,
+    drained with availableNow into a complete-mode memory sink so EVERY
+    day window emits (the append-mode closed-window behavior is the
+    pytest's job, tests/test_streaming.py:39). Oracle = the same per-row
+    error/warning OR grouped by UTC day in batch SQL — stream must
+    equal batch because the windowed agg sees the full input."""
+    import os
+
+    from sgb_data_validator_spark.streaming.incremental import (
+        stream_turns,
+        stream_windowed_verdicts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sgb_wvstream_")
+    _events_as_turns(spark, sf_dir).write.mode("overwrite").parquet(f"{tmp}/in")
+    wv = stream_windowed_verdicts(
+        stream_turns(spark, f"{tmp}/in"), _transcript_rules()
+    )
+    qname = "wv_" + os.path.basename(tmp).replace("sgb_wvstream_", "")
+    query = (
+        wv.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "part",
+        F.col("error_count").cast("bigint").alias("error_count"),
+        F.col("warning_count").cast("bigint").alias("warning_count"),
+        F.col("rows").cast("bigint").alias("n_rows"),
+        "status",
+    )
+
+
+SQL_STREAMING_WINDOWED_VERDICTS = f"""
+WITH {_SQL_TURNS},
+flags AS (
+  SELECT part,
+         (text IS NULL
+          OR (text IS NOT NULL AND trim(text) = '')
+          OR (parse_ok AND role IS NOT NULL AND role NOT IN ({_IN_TYPES}))) AS is_err,
+         (parse_ok AND text IS NOT NULL
+          AND regexp_matches(text, '(?i)(?:https?://|ftp://|www\\.)[^\\s]+')) AS is_warn
+  FROM base
+)
+SELECT part,
+       cast(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS bigint) AS error_count,
+       cast(sum(CASE WHEN is_warn THEN 1 ELSE 0 END) AS bigint) AS warning_count,
+       cast(count(*) AS bigint) AS n_rows,
+       CASE WHEN sum(CASE WHEN is_err THEN 1 ELSE 0 END) > 0
+            THEN 'FAILED' ELSE 'PASSED' END AS status
+FROM flags GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- rollup (A6)
 
 def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +553,10 @@ FROM m
 EXTRA_QUERIES: dict[str, tuple] = {
     "streaming_row_rules": (q_streaming_row_rules, SQL_STREAMING_ROW_RULES),
     "streaming_stateful_seq": (q_streaming_stateful_seq, SQL_STREAMING_STATEFUL_SEQ),
+    "streaming_windowed_verdicts": (
+        q_streaming_windowed_verdicts,
+        SQL_STREAMING_WINDOWED_VERDICTS,
+    ),
     "rollup_summary": (q_rollup_summary, SQL_ROLLUP_SUMMARY),
     "run_diff": (q_run_diff, SQL_RUN_DIFF),
     "migrate_idmap": (q_migrate_idmap, SQL_MIGRATE_IDMAP),
