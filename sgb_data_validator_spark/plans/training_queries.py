@@ -811,6 +811,81 @@ FROM w WHERE group_size > 1
 """
 
 
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NEAR-dup dedup: minhash LSH candidate pairs →
+    connected components (diameter-independent star contraction) →
+    quality-argmax canonical per CLUSTER — the full "collapse each
+    near-dup family to its best copy" pass a curation pipeline runs,
+    composing three already-proven stages. Only clustered docs flow
+    into the (small) cluster↔score join; the scoring projection never
+    shuffles; the argmax is the same shared-partitioning single
+    exchange as dedup_keep_best."""
+    from pyspark.sql import Window
+
+    from sgb_data_validator_spark.operators import scorers
+
+    docs = _docs_with_twins(spark, sf_dir)
+    pairs = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    )
+    clus = D.dedup_clusters_star(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    scored = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        scorers.quality_score(F.col("text")).alias("score"),
+    )
+    j = clus.join(scored, "doc_id")
+    wg = Window.partitionBy("cluster_id")
+    wo = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("cluster_size", F.count(F.lit(1)).over(wg).cast("bigint"))
+        .withColumn("keep_id", F.first("doc_id").over(wo))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "score",
+            "cluster_size",
+            "keep_id",
+            (F.col("doc_id") != F.col("keep_id")).alias("is_redundant"),
+        )
+    )
+
+
+SQL_CLUSTER_KEEP_BEST = f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clus AS (
+  SELECT cast(src AS bigint) AS doc_id,
+         cast(least(src, min(dst)) AS bigint) AS cluster_id
+  FROM reach GROUP BY src
+),
+q AS ({SQL_QUALITY_SCORE.strip().replace("FROM documents", "FROM docs_twins")}),
+j AS (SELECT c.doc_id, c.cluster_id, q.score FROM clus c JOIN q USING (doc_id)),
+w AS (
+  SELECT doc_id, cluster_id, score,
+         cast(count(*) OVER (PARTITION BY cluster_id) AS bigint) AS cluster_size,
+         first_value(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC
+         ) AS keep_id
+  FROM j
+)
+SELECT doc_id, cluster_id, score, cluster_size, cast(keep_id AS bigint) AS keep_id,
+       doc_id <> keep_id AS is_redundant
+FROM w
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -832,4 +907,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "cluster_keep_best": (q_cluster_keep_best, SQL_CLUSTER_KEEP_BEST),
 }
