@@ -18,6 +18,7 @@ from sgb_data_validator_spark.operators.sampling import temperature_sample
 from sgb_data_validator_spark.plans.training_queries import (
     DIM,
     SQL_COS,
+    SQL_QUALITY_SCORE,
     SQL_VECTORS_TWINS,
     _t,
     _vectors_with_twins,
@@ -197,8 +198,149 @@ WHERE {SQL_COS.format(a="a.v", b="b.v")} >= {SEM_TAU}
 """
 
 
+# --------------------------------------------- percentile quality gate
+
+GATE_Q = 0.25  # drop the bottom quartile by quality score
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gating: keep documents at or above the
+    corpus p-quantile of the quality score — the data-driven form of a
+    hand-set threshold (the cut point moves with the corpus, so the same
+    query works on any snapshot). The exact interpolated percentile is
+    ONE row (partial-agg sketch per task, merged once), broadcast back
+    onto the scoring projection; the fact is never shuffled. At 10^12
+    rows swap `percentile` for `percentile_approx` — same plan shape."""
+    from sgb_data_validator_spark.operators import scorers
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        scorers.quality_score(F.col("text")).alias("score"),
+    )
+    thr = scored.agg(F.expr(f"percentile(score, {GATE_Q})").alias("threshold"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("threshold"))
+        .select("doc_id", "score", F.round("threshold", 6).alias("threshold"))
+    )
+
+
+SQL_QUALITY_GATE = f"""
+WITH q AS ({SQL_QUALITY_SCORE.strip()}),
+t AS (SELECT quantile_cont(score, {GATE_Q}) AS threshold FROM q)
+SELECT q.doc_id, q.score, round(t.threshold, 6) AS threshold
+FROM q CROSS JOIN t WHERE q.score >= t.threshold
+"""
+
+
+# ------------------------------------------------ language-mix report
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus accounting before/after temperature
+    resampling: document and (whitespace-)token counts, token share in
+    integer basis points, and the kept-side counts under the α=0.5 rule
+    — the mix table a training run is provisioned from. Two map-side-
+    combined aggregations over one scan; kept-side flags reuse the
+    portable md5 membership predicate so the report matches the actual
+    `temperature_sample` output exactly."""
+    from sgb_data_validator_spark.operators import textanalysis as T
+    from sgb_data_validator_spark.operators.sampling import sample_bucket
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+        sample_bucket(F.col("lang"), F.col("doc_id")).alias("bucket_bp"),
+    )
+    counts = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    cmin = counts.agg(F.min("n_docs").alias("cmin"))
+    total = counts.agg(F.sum("n_tokens").alias("total_tokens"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        F.floor(
+            F.round(
+                F.lit(10000)
+                * F.pow(F.col("cmin").cast("double") / F.col("n_docs"), F.lit(0.5)),
+                6,
+            )
+        ).alias("rate_bp"),
+    )
+    kept = (
+        base.join(F.broadcast(rates), "lang")
+        .where(F.col("bucket_bp") < F.col("rate_bp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(rates), "lang")
+        .join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("n_tokens") * 10000 / F.col("total_tokens"))
+            .cast("bigint")
+            .alias("share_bp"),
+            F.col("rate_bp").cast("bigint").alias("rate_bp"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+SQL_MIX_REPORT = """
+WITH base AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, lang,
+         cast(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint) AS n_tokens,
+         (('0x' || substr(md5(lang || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT) % 10000
+           AS bucket_bp
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+counts AS (
+  SELECT lang, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(n_tokens) AS bigint) AS n_tokens
+  FROM base GROUP BY 1
+),
+rates AS (
+  SELECT lang,
+         cast(floor(round(10000 * pow((SELECT min(n_docs) FROM counts)::DOUBLE / n_docs,
+                                      0.5), 6)) AS bigint) AS rate_bp
+  FROM counts
+),
+kept AS (
+  SELECT b.lang, cast(count(*) AS bigint) AS kept_docs,
+         cast(sum(b.n_tokens) AS bigint) AS kept_tokens
+  FROM base b JOIN rates r USING (lang)
+  WHERE b.bucket_bp < r.rate_bp GROUP BY 1
+)
+SELECT c.lang, c.n_docs, c.n_tokens,
+       cast(floor(c.n_tokens * 10000 / (SELECT sum(n_tokens) FROM counts)) AS bigint)
+         AS share_bp,
+       r.rate_bp,
+       cast(coalesce(k.kept_docs, 0) AS bigint) AS kept_docs,
+       cast(coalesce(k.kept_tokens, 0) AS bigint) AS kept_tokens
+FROM counts c
+JOIN rates r USING (lang)
+LEFT JOIN kept k USING (lang)
+"""
+
+
 PACKING_QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "mix_report": (q_mix_report, SQL_MIX_REPORT),
 }
