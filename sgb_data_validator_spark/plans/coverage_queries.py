@@ -365,6 +365,46 @@ SELECT part, round(sum((p - q) * ln(p / q)), 6) AS psi FROM j GROUP BY part
 """
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume control chart — the monitoring complement of
+    the distribution-drift family (A5): per-day row counts, corpus mean
+    and sample stddev, and the z-score flagging days whose VOLUME (not
+    mix) is anomalous. Scale shape: the fact reduces to one row per day
+    in a map-side-combined count; the mean/std window then runs over
+    the ~O(days) frame, so the single-partition window exchange moves a
+    few dozen rows, never the fact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    w = Window.partitionBy()
+    z = (F.col("n_rows") - F.avg("n_rows").over(w)) / F.stddev_samp("n_rows").over(w)
+    return daily.select(
+        "part",
+        "n_rows",
+        F.round(F.avg("n_rows").over(w), 4).alias("mean_rows"),
+        F.round(F.stddev_samp("n_rows").over(w), 4).alias("std_rows"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 3.0).alias("is_anomalous"),
+    )
+
+
+SQL_VOLUME_ANOMALY = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, cast(count(*) AS bigint) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT part, n_rows,
+       round(avg(n_rows) OVER (), 4) AS mean_rows,
+       round(stddev_samp(n_rows) OVER (), 4) AS std_rows,
+       round((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER (), 4) AS z_score,
+       abs((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER ()) > 3.0 AS is_anomalous
+FROM daily
+"""
+
+
 # ------------------------------------------------ backup/restore (S10)
 
 def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,6 +619,7 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "json_cols": (q_json_cols, SQL_JSON_COLS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+    "volume_anomaly": (q_volume_anomaly, SQL_VOLUME_ANOMALY),
     "backup_restore": (q_backup_restore, SQL_BACKUP_RESTORE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "top_values": (q_top_values, SQL_TOP_VALUES),
