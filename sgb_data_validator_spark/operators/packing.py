@@ -72,15 +72,26 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    begin = (cum - F.col("n_tokens")).alias("begin_offset")
-    packed = base.select(
+    # integer DIV, not floor(double /): a bucket's cumulative token count
+    # at 100 TB approaches 2^53, where double division goes inexact —
+    # the DuckDB twin's `//` is integer too, so the engines stay bit-equal
+    staged = base.select(
         "id",
         "n_tokens",
         "bucket",
-        begin,
-        (F.col("bucket") * PACK_STRIDE + F.floor(begin / budget)).alias("pack_id"),
-        (begin % budget).alias("offset_in_pack"),
+        (cum - F.col("n_tokens")).alias("begin_offset"),
+        (cum - 1).alias("__last_offset"),
+    )
+    b = F.lit(budget)
+    first_pack = F.expr(f"begin_offset DIV {budget}")
+    packed = staged.select(
+        "id",
+        "n_tokens",
+        "bucket",
+        "begin_offset",
+        (F.col("bucket") * PACK_STRIDE + first_pack).alias("pack_id"),
+        (F.col("begin_offset") % b).alias("offset_in_pack"),
         # last token of the doc sits at cum-1; compare its pack to the first's
-        (F.floor(begin / budget) != F.floor((cum - 1) / budget)).alias("spans_boundary"),
+        (first_pack != F.expr(f"__last_offset DIV {budget}")).alias("spans_boundary"),
     )
     return packed
