@@ -56,6 +56,14 @@ def pack_sequences(
     Zero-token documents are dropped (they occupy no stream positions
     and would otherwise alias the next document's offset).
     """
+    # budget is interpolated into F.expr (integer DIV) and n_buckets into
+    # a modulo: validate eagerly — budget <= 0 would yield NULL/div-zero
+    # pack ids, n_buckets <= 0 NULLs the bucket and silently drops rows,
+    # and a non-int budget would become arbitrary SQL-expression text
+    if not isinstance(budget, int) or isinstance(budget, bool) or budget < 1:
+        raise ValueError(f"budget must be a positive int, got {budget!r}")
+    if not isinstance(n_buckets, int) or isinstance(n_buckets, bool) or n_buckets < 1:
+        raise ValueError(f"n_buckets must be a positive int, got {n_buckets!r}")
     toks = F.col(token_col).cast("bigint")
     bucket = (portable_hash(F.col(id_col).cast("string")) % n_buckets).alias("bucket")
     base = df.where(toks > 0).select(

@@ -262,6 +262,69 @@ def kmeans_step(
     )
 
 
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> float:
+    """Sum over vectors of (1 - cosine-to-assigned-centroid) — the
+    spherical-k-means objective (lower is tighter). One zero-shuffle
+    assignment pass + a scalar aggregate; used as the convergence
+    metric and by tests asserting Lloyd's monotone descent."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col, "_vid")
+    c = centroids.select(F.col("cid"), F.col("cv").alias("_cv"), F.col("cn").alias("_cn"))
+    scored = assigned.join(F.broadcast(c), "cid").select(
+        (1.0 - cosine_with_norms(F.col("_v"), F.col("_cv"), F.col("_n"), F.col("_cn"))).alias("d")
+    )
+    return float(scored.agg(F.sum("d")).collect()[0][0] or 0.0)
+
+
+def kmeans_train(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    mean_precision: int = 6,
+) -> DataFrame:
+    """Lloyd k-means to convergence: iterate :func:`kmeans_step` until
+    the maximum centroid movement (1 - cosine(old, new)) drops below
+    ``tol`` — the trained quantizer for :func:`knn_ivf` / semantic
+    dedup, vs the single-refinement bootstrap.
+
+    Spark-first loop discipline (same as dedup_clusters): each round is
+    one zero-shuffle assignment + one narrow component-mean shuffle;
+    ``localCheckpoint`` cuts the lineage so the plan doesn't grow per
+    round; the movement test is a scalar agg over the O(k) centroid
+    frame (a broadcast-joined old-vs-new cosine), never the fact.
+    RAISES if ``max_iter`` trips without convergence rather than
+    silently returning a half-trained quantizer. Centroids whose cells
+    empty out drop (standard Lloyd), so k may shrink.
+
+    Returns (cid, cv, cn, n_members) like kmeans_step."""
+    cur = centroids.select("cid", "cv", "cn").localCheckpoint()
+    for _ in range(max_iter):
+        nxt = kmeans_step(df, cur, id_col, vec_col, mean_precision).localCheckpoint()
+        old = cur.select("cid", F.col("cv").alias("_ov"), F.col("cn").alias("_on"))
+        movement = (
+            nxt.join(old, "cid")
+            .select(
+                (1.0 - cosine_with_norms(F.col("cv"), F.col("_ov"), F.col("cn"), F.col("_on"))).alias("mv")
+            )
+            .agg(F.max("mv"))
+            .collect()[0][0]
+        )
+        cur = nxt
+        if movement is not None and movement < tol:
+            return cur
+    raise RuntimeError(
+        f"kmeans_train did not converge in {max_iter} iterations "
+        f"(last max centroid movement {movement}); raise max_iter or tol"
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

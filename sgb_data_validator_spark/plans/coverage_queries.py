@@ -386,8 +386,11 @@ def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(F.avg("n_rows").over(w), 4).alias("mean_rows"),
         F.round(F.stddev_samp("n_rows").over(w), 4).alias("std_rows"),
-        F.round(z, 4).alias("z_score"),
-        (F.abs(z) > 3.0).alias("is_anomalous"),
+        # single-day corpora: stddev_samp is NULL ⇒ z undefined; surface
+        # z=0 / not-anomalous (not NULL) so `is_anomalous = true` filters
+        # and `IS NOT false` filters agree downstream
+        F.coalesce(F.round(z, 4), F.lit(0.0)).alias("z_score"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomalous"),
     )
 
 
@@ -399,8 +402,10 @@ WITH daily AS (
 SELECT part, n_rows,
        round(avg(n_rows) OVER (), 4) AS mean_rows,
        round(stddev_samp(n_rows) OVER (), 4) AS std_rows,
-       round((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER (), 4) AS z_score,
-       abs((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER ()) > 3.0 AS is_anomalous
+       coalesce(round((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER (), 4), 0.0)
+         AS z_score,
+       coalesce(abs((n_rows - avg(n_rows) OVER ()) / stddev_samp(n_rows) OVER ()) > 3.0, false)
+         AS is_anomalous
 FROM daily
 """
 

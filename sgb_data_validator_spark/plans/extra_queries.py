@@ -550,6 +550,31 @@ FROM m
 """
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means trained to convergence (operators/similarity.py:
+    kmeans_train): the bootstrap centroids iterated until max centroid
+    movement < tol — the trained quantizer knn_ivf/semantic_dedup feed
+    on. Iterative with a data-dependent round count, so no ANSI-SQL twin
+    exists (driver records the rows-only check); the training invariants
+    — monotone inertia descent, convergence raise, recall gain over the
+    bootstrap — are pinned by tests/test_extra_queries.py and
+    tools/ann_recall.py. Long-format output like q_kmeans_step."""
+    from sgb_data_validator_spark.operators.dedup import dot
+
+    vecs = _vectors_with_twins(spark, sf_dir)
+    cent = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    trained = S.kmeans_train(vecs, cent, "vec_id", "v", max_iter=25, tol=1e-6)
+    return trained.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.posexplode("cv").alias("pos", "mean"),
+        "n_members",
+    ).select("cid", F.col("pos").cast("int").alias("pos"), "mean", "n_members")
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "streaming_row_rules": (q_streaming_row_rules, SQL_STREAMING_ROW_RULES),
     "streaming_stateful_seq": (q_streaming_stateful_seq, SQL_STREAMING_STATEFUL_SEQ),
@@ -565,4 +590,5 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivf_nprobe": (q_knn_ivf_nprobe, SQL_KNN_IVF_NPROBE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "kmeans_train": (q_kmeans_train, None),  # iterative — rows-only check
 }

@@ -89,8 +89,13 @@ FROM c
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """α=0.5 temperature flattening of the documents language mix:
     per-language keep-rates computed in-plan from the counts, membership
-    by the portable md5 basis-point rule (operators/sampling.py)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    by the portable md5 basis-point rule (operators/sampling.py).
+    Row filter is (text, lang) NOT NULL — identical to q_mix_report's,
+    so the report's kept counts/rates and this kept set stay in exact
+    correspondence even on corpora with null-text/non-null-lang rows."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
     kept = temperature_sample(
         docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"),
         "doc_id",
@@ -104,7 +109,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEMPERATURE_SAMPLE = f"""
 WITH d AS (
   SELECT cast(doc_id AS bigint) AS doc_id, lang
-  FROM documents WHERE lang IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
 ),
 c AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
 r AS (

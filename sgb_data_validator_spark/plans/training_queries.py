@@ -751,6 +751,120 @@ FROM f JOIN s USING (fingerprint) WHERE s.n_sources > 1
 """.replace("{WORDSET}", SQL_WORDSET)
 
 
+def _docs_twins_sourced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents (with source) plus injected eval-leak twins: every
+    TEXT_TWIN_MOD-th doc re-appears with an appended suffix under the
+    held-out source 'evalset' — deterministic ground truth for NEAR-dup
+    cross-source contamination (the suffix defeats exact fingerprints,
+    so only the n-gram-overlap path can catch it)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    twins = docs.where(F.col("doc_id") % TEXT_TWIN_MOD == 0).select(
+        (F.col("doc_id") + TEXT_TWIN_OFFSET).alias("doc_id"),
+        F.lit("evalset").alias("source"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup cross-source contamination — the n-gram-overlap
+    decontamination pass that catches leaks exact fingerprints miss
+    (q_contamination's window only sees identical canonical word sets;
+    an eval answer pasted with a changed sentence slips through it).
+    Pipeline: minhash LSH proposes candidate pairs over the sourced
+    corpus (operators/dedup.py:minhash_candidate_pairs), exact bigram
+    Jaccard confirms (verify_jaccard_pairs, count-gated broadcast), then
+    pairs are kept only when the two sides live in DIFFERENT sources and
+    emitted in both directions, so every contaminated doc gets a row
+    (doc_id, source, leaked_from, leaked_from_source, jaccard).
+
+    Scale shape: all heavy stages are the proven dedup_ngram plan; the
+    source attach is a hash join of the tiny confirmed-pair frame
+    against the narrow (doc_id, source) projection — the text payload
+    never joins."""
+    docs = _docs_twins_sourced(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    )
+    verified = D.verify_jaccard_pairs(
+        cand, docs, "doc_id", "text", shingle_n=2, threshold=0.8
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    pairs = (
+        verified.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("source_a") != F.col("source_b"))
+    )
+    fwd = pairs.select(
+        F.col("id_a").cast("bigint").alias("doc_id"),
+        F.col("source_a").alias("source"),
+        F.col("id_b").cast("bigint").alias("leaked_from"),
+        F.col("source_b").alias("leaked_from_source"),
+        "jaccard",
+    )
+    rev = pairs.select(
+        F.col("id_b").cast("bigint").alias("doc_id"),
+        F.col("source_b").alias("source"),
+        F.col("id_a").cast("bigint").alias("leaked_from"),
+        F.col("source_a").alias("leaked_from_source"),
+        "jaccard",
+    )
+    return fwd.unionByName(rev)
+
+
+SQL_DOCS_TWINS_SOURCED = f"""
+docs_twins AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, source, text
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT cast(doc_id AS bigint) + {TEXT_TWIN_OFFSET}, 'evalset',
+         text || ' near duplicate suffix'
+  FROM documents WHERE text IS NOT NULL AND doc_id % {TEXT_TWIN_MOD} = 0
+)"""
+
+
+SQL_CONTAMINATION_NGRAM = f"""
+WITH {_sql_minhash_cte().replace(SQL_DOCS_TWINS.strip(), SQL_DOCS_TWINS_SOURCED.strip())},
+gd AS (SELECT DISTINCT doc_id, g FROM grams),
+gsz AS (SELECT doc_id, count(*) AS n_grams FROM gd GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN gd a ON a.doc_id = c.id_a
+  JOIN gd b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY 1, 2
+),
+conf AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / cast(sa.n_grams + sb.n_grams - i.inter AS double), 6) AS jaccard
+  FROM inter i
+  JOIN gsz sa ON sa.doc_id = i.id_a
+  JOIN gsz sb ON sb.doc_id = i.id_b
+  WHERE round(i.inter / cast(sa.n_grams + sb.n_grams - i.inter AS double), 6) >= 0.8
+),
+srcd AS (
+  SELECT c.id_a, c.id_b, c.jaccard, da.source AS source_a, db.source AS source_b
+  FROM conf c
+  JOIN docs_twins da ON da.doc_id = c.id_a
+  JOIN docs_twins db ON db.doc_id = c.id_b
+  WHERE da.source <> db.source
+)
+SELECT cast(id_a AS bigint) AS doc_id, source_a AS source,
+       cast(id_b AS bigint) AS leaked_from, source_b AS leaked_from_source, jaccard
+FROM srcd
+UNION ALL
+SELECT cast(id_b AS bigint), source_b, cast(id_a AS bigint), source_a, jaccard
+FROM srcd
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-argmax canonical selection per duplicate group — the
     curation-grade upgrade over exact_duplicates' min-id keep: inside
@@ -906,6 +1020,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "ngram_freq": (q_ngram_freq, SQL_NGRAM_FREQ),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION_NGRAM),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "cluster_keep_best": (q_cluster_keep_best, SQL_CLUSTER_KEEP_BEST),
 }

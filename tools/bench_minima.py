@@ -18,6 +18,8 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: bench_minima.py OUT.json IN1.json [IN2.json ...]")
     out_path, *in_paths = sys.argv[1:]
     snaps = []
     for p in in_paths:
@@ -26,15 +28,22 @@ def main() -> None:
                 if line.startswith("{"):
                     snaps.append(json.loads(line))
                     break
+    if not snaps:
+        sys.exit(f"no parseable bench snapshot (leading '{{' line) in: {in_paths}")
     minima: dict[str, float] = {}
+    pass_counts: dict[str, int] = {}
     for s in snaps:
         for q, t in s["queries"].items():
             minima[q] = min(minima.get(q, t), t)
+            pass_counts[q] = pass_counts.get(q, 0) + 1
     result = {
         "metric": "per-query minimum wall seconds across bench passes (host-noise floor)",
         "value": round(sum(minima.values()), 3),
         "unit": "sec",
         "queries": {q: minima[q] for q in sorted(minima)},
+        # single-pass entries are a raw sample, not a noise-floor minimum
+        # — surface per-query pass counts so readers can tell them apart
+        "query_passes": {q: pass_counts[q] for q in sorted(pass_counts)},
         "sf": snaps[-1].get("sf"),
         "cpus": snaps[-1].get("cpus"),
         "passes": len(snaps),
