@@ -70,7 +70,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 
 def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
     """Batch-incremental execution through Structured Streaming: the
-    stateless row rules and the stateful sequence rules drain everything
+    stateless row rules, the stateful sequence rules, AND the stateful
+    uniqueness rule (A1 — one violation per in-horizon duplicate of
+    (conv_id, turn_idx), carried across micro-batches) drain everything
     new in the landing dir (trigger availableNow), write exactly-once
     via their checkpoints, and the verdict report is recomputed from the
     full violations sink. Re-invoking after more files land processes
@@ -89,8 +91,14 @@ def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
         f"{out}/violations_stream/seq",
         f"{out}/_ckpt/seq",
     )
+    q3 = si.run_available_now(
+        si.stream_duplicate_violations(si.stream_turns(spark, args.turns)),
+        f"{out}/violations_stream/dups",
+        f"{out}/_ckpt/dups",
+    )
     q1.awaitTermination()
     q2.awaitTermination()
+    q3.awaitTermination()
 
     viol_schema = (
         "rule_id string, conv_id string, turn_idx int, column string, "
@@ -110,7 +118,8 @@ def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
             "part",
         )
     )
-    violations = rows.unionByName(seq)
+    dups = spark.read.schema(si.DUP_OUT_SCHEMA).parquet(f"{out}/violations_stream/dups")
+    violations = rows.unionByName(seq).unionByName(dups)
     turns = spark.read.parquet(args.turns)
     verdicts = compute_verdicts(turns, violations)
     for row in verdicts.orderBy("part").collect():

@@ -196,6 +196,24 @@ def knn_ivf(
         F.col(vec_col).alias("cv"),
         dot(F.col(vec_col), F.col(vec_col)).alias("cn"),
     )
+    return knn_ivf_with_centroids(queries, corpus, id_col, vec_col, cent, k=k, nprobe=nprobe)
+
+
+def knn_ivf_with_centroids(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """:func:`knn_ivf` with an explicit (cid, cv, cn) centroid frame —
+    the entry point for TRAINED quantizers (:func:`kmeans_train`) as
+    opposed to the deterministic sampled bootstrap. Same plan shape:
+    zero-shuffle broadcast-fold assignment on both sides, cell
+    equi-join, top-k window."""
+    cent = centroids.select("cid", "cv", "cn")
     q_cells = (
         ivf_assign(queries, cent, id_col, vec_col, "query_id")
         if nprobe <= 1

@@ -101,6 +101,90 @@ def stream_deduplicated_turns(turns: DataFrame, watermark: str = "2 hours") -> D
     )
 
 
+DUP_STATE_SCHEMA = "n_seen long"
+DUP_OUT_SCHEMA = (
+    "rule_id string, conv_id string, turn_idx int, column string, "
+    "offending_value string, severity string, part string"
+)
+
+
+def stream_duplicate_violations(
+    turns: DataFrame,
+    timeout_ms: int | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming uniqueness ENFORCEMENT on (conv_id, turn_idx): one
+    violation row per redundant copy seen within the horizon — the
+    emit-side complement of :func:`stream_deduplicated_turns` (which
+    silently keeps firsts), and the streaming analog of the batch
+    salted uniqueness aggregation (operators/uniqueness.py). A
+    duplicate landing in a LATER micro-batch than its first copy is
+    still flagged, because the first-seen fact is carried as state —
+    per key just one counter, vectorized inside a batch group.
+
+    State bound: same event-time timeout discipline as
+    stream_sequence_violations — with ``timeout_ms`` set, a key's
+    counter expires once the watermark passes its last event plus the
+    horizon, so state is O(keys active within the horizon). With
+    ``timeout_ms=None`` state never expires and availableNow output
+    flags exactly the all-time duplicates, batch-equal."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def check(key, pdf_iter, state: GroupState):
+        conv_id, turn_idx = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (n_seen,) = state.get if state.exists else (0,)
+        out = []
+        last_ts_us = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            dup = pdf.iloc[0 if n_seen > 0 else 1 :]
+            if len(dup):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "rule_id": "unique.turn",
+                            "conv_id": conv_id,
+                            "turn_idx": dup["turn_idx"].astype("int32"),
+                            "column": "conv_id,turn_idx",
+                            "offending_value": dup["ts"].astype(str),
+                            "severity": "error",
+                            "part": dup["part"],
+                        }
+                    )
+                )
+            n_seen += len(pdf)
+            last_ts_us = int(ts_us.iloc[-1])
+        if n_seen:
+            state.update((n_seen,))
+            if timeout_ms is not None and last_ts_us is not None:
+                state.setTimeoutTimestamp(last_ts_us // 1000 + timeout_ms)
+        if out:
+            yield pd.concat(out)
+
+    src = turns.select("conv_id", "turn_idx", "ts", "part")
+    if timeout_ms is not None:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+        check,
+        outputStructType=DUP_OUT_SCHEMA,
+        stateStructType=DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 SEQ_STATE_SCHEMA = "last_idx int, last_ts_us long"
 SEQ_OUT_SCHEMA = (
     "rule_id string, conv_id string, turn_idx int, offending_value string, "

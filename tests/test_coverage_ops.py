@@ -446,3 +446,20 @@ def test_normalize_name_udf(spark):
     df = spark.createDataFrame([("  A  B ",), ("M&amp;M",)], "name string")
     got = [r[0] for r in df.select(normalize_name_udf(F.col("name"))).collect()]
     assert got == ["a b", "m&m"]
+
+
+def test_volume_anomaly_single_day_not_null(spark, tmp_path):
+    """One distinct day ⇒ stddev_samp is NULL; z_score/is_anomalous must
+    coalesce to 0.0/false so boolean filters behave either way round."""
+    from sgb_data_validator_spark.plans.coverage_queries import q_volume_anomaly
+
+    rows = [(i, 1, "click", 1.0) for i in range(50)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-05 10:00:00")))
+    sf = str(tmp_path / "sf")
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = q_volume_anomaly(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["std_rows"] is None
+    assert out[0]["z_score"] == 0.0
+    assert out[0]["is_anomalous"] is False

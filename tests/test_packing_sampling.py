@@ -143,3 +143,35 @@ def test_temperature_sample_rate_join_is_broadcast(spark):
     plan = plan_of(temperature_sample(df, "doc_id", "lang"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_rejects_bad_budget_and_buckets(spark):
+    import pytest
+
+    from sgb_data_validator_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id int, n int")
+    for budget, n_buckets in ((0, 4), (-3, 4), ("256", 4), (2.5, 4), (True, 4),
+                              (256, 0), (256, -1), (256, "8")):
+        with pytest.raises(ValueError):
+            pack_sequences(df, "doc_id", "n", budget, n_buckets)
+
+
+def test_temperature_and_mix_report_agree_on_null_text(spark, tmp_path):
+    """A corpus with null-text/non-null-lang rows: the mix report's
+    kept_docs per language must equal the actual temperature_sample
+    kept-set sizes — the two queries share one row filter now."""
+    from sgb_data_validator_spark.plans.packing_queries import (
+        q_mix_report,
+        q_temperature_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "de", None if i % 10 == 0 else f"w{i} x y z")
+            for i in range(1, 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    kept = q_temperature_sample(spark, sf).groupBy("lang").count().collect()
+    kept_by_lang = {r["lang"]: r["count"] for r in kept}
+    report = {r["lang"]: r["kept_docs"] for r in q_mix_report(spark, sf).collect()}
+    assert report == kept_by_lang

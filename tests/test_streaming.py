@@ -193,3 +193,40 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     assert got.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
     # and it kept one row per distinct input key
     assert got.count() == spark.read.parquet(landing).select("conv_id", "turn_idx").distinct().count()
+
+
+def test_stream_duplicate_violations_across_batches(spark, tmp_path):
+    """A1 in the streaming path: a (conv_id, turn_idx) landing once per
+    micro-batch yields EXACTLY ONE violation row (the second copy),
+    because the first-seen fact is carried as state; a triple inside
+    one batch yields two; a unique key yields none."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing_dup")
+    out, ckpt = str(tmp_path / "dups"), str(tmp_path / "ckpt_dup")
+
+    def turn(cid, idx, minute):
+        return (cid, idx, "user", "t", None, dt.datetime(2026, 1, 5, 1, minute), "2026-01-05")
+
+    schema = si.TURN_SCHEMA
+    # batch 1: cA/0 first copy; cB/0 appears THREE times; cC/0 unique
+    spark.createDataFrame(
+        [turn("cA", 0, 1), turn("cB", 0, 2), turn("cB", 0, 3), turn("cB", 0, 4), turn("cC", 0, 5)],
+        schema,
+    ).write.mode("append").parquet(landing)
+    q = si.run_available_now(
+        si.stream_duplicate_violations(si.stream_turns(spark, landing)), out, ckpt
+    )
+    q.awaitTermination(300)
+    # batch 2: cA/0 duplicate lands in a LATER micro-batch
+    spark.createDataFrame([turn("cA", 0, 9)], schema).write.mode("append").parquet(landing)
+    q2 = si.run_available_now(
+        si.stream_duplicate_violations(si.stream_turns(spark, landing)), out, ckpt
+    )
+    q2.awaitTermination(300)
+    got = spark.read.schema(si.DUP_OUT_SCHEMA).parquet(out).collect()
+    by_key = {}
+    for r in got:
+        assert r.rule_id == "unique.turn" and r.severity == "error"
+        by_key[(r.conv_id, r.turn_idx)] = by_key.get((r.conv_id, r.turn_idx), 0) + 1
+    assert by_key == {("cA", 0): 1, ("cB", 0): 2}

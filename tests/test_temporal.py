@@ -184,3 +184,89 @@ def test_asof_bucketized_plan_windows_are_bucket_keyed(spark):
     # the big window's spec is keyed by (key, bucket) — the detail
     # section prints the windowspecdefinition arguments
     assert "windowspecdefinition(__k" in plan and "__b" in plan
+
+
+# --- adversarial boundaries for the bucketized skew-split ------------------
+#
+# Each case is named for the carry-semantics adversary it pins; the
+# invariant is always: bucketized output == single-window fast path,
+# row for row. BUCKET = 60 s; timestamps are chosen so epoch_us values
+# land exactly where the case name says.
+
+_BUCKET_US = 60_000_000  # 1 minute
+
+
+def _asof_both_paths(spark, left_rows, right_rows, tolerance_us=None):
+    left = spark.createDataFrame(left_rows, "lid bigint, k bigint, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, k bigint, ts timestamp")
+    kw = dict(on="k", left_ts="ts", right_ts="ts", right_cols=["rid"],
+              tolerance_us=tolerance_us)
+    fast = {r["lid"]: (r["rid"], r["__asof_ts"])
+            for r in as_of_join(left, right, **kw).collect()}
+    bucketed = {r["lid"]: (r["rid"], r["__asof_ts"])
+                for r in as_of_join(left, right, bucket_us=_BUCKET_US, **kw).collect()}
+    return fast, bucketed
+
+
+def test_asof_bucketized_right_rows_exactly_on_bucket_edges(spark):
+    """Right rows at exact bucket-boundary instants (epoch_us % bucket
+    == 0) must belong to the bucket they START (floor), and a left row
+    at the same instant in the same bucket still sees them (side
+    ordering), while a left row one microsecond earlier must not."""
+    edge = _ts("2024-01-01 00:02:00")       # exactly bucket 2 start
+    rows_r = [(100, 10, _ts("2024-01-01 00:01:00")),   # bucket 1 edge
+              (101, 10, edge)]                          # bucket 2 edge
+    rows_l = [
+        (1, 10, edge),                                          # same instant ⇒ 101
+        (2, 10, edge - datetime.timedelta(microseconds=1)),     # 1 µs before ⇒ 100
+        (3, 10, _ts("2024-01-01 00:03:00")),                    # next edge ⇒ 101
+        (4, 10, _ts("2024-01-01 00:00:59")),                    # before bucket-1 edge ⇒ None
+    ]
+    fast, bucketed = _asof_both_paths(spark, rows_l, rows_r)
+    assert bucketed == fast
+    assert {k: v[0] for k, v in bucketed.items()} == {1: 101, 2: 100, 3: 101, 4: None}
+
+
+def test_asof_bucketized_carry_spans_many_empty_buckets(spark):
+    """A left row whose only match is MANY buckets back (every bucket
+    between them empty) must still get it through the carried summary;
+    with a tolerance shorter than the gap the match must null out —
+    in both paths identically."""
+    rows_r = [(100, 10, _ts("2024-01-01 00:00:30"))]   # bucket 0
+    rows_l = [(1, 10, _ts("2024-01-01 00:09:30"))]     # bucket 9 — 8 empty buckets between
+    fast, bucketed = _asof_both_paths(spark, rows_l, rows_r)
+    assert bucketed == fast and bucketed[1][0] == 100
+    # tolerance 2 min < 9 min gap ⇒ stale, nulled
+    fast_t, bucketed_t = _asof_both_paths(
+        spark, rows_l, rows_r, tolerance_us=120_000_000
+    )
+    assert bucketed_t == fast_t and bucketed_t[1] == (None, None)
+
+
+def test_asof_bucketized_left_only_buckets_before_any_right_row(spark):
+    """Left rows occupying buckets BEFORE the key's first right row:
+    their buckets appear in the carry scan (they must — otherwise the
+    carry skips them) with a NULL carry, and the match is NULL, not a
+    row borrowed from a later bucket."""
+    rows_r = [(100, 10, _ts("2024-01-01 00:05:30"))]   # bucket 5
+    rows_l = [
+        (1, 10, _ts("2024-01-01 00:00:10")),  # bucket 0, left-only
+        (2, 10, _ts("2024-01-01 00:02:10")),  # bucket 2, left-only
+        (3, 10, _ts("2024-01-01 00:05:10")),  # bucket 5, before its right row
+        (4, 10, _ts("2024-01-01 00:06:10")),  # bucket 6, after ⇒ 100
+    ]
+    fast, bucketed = _asof_both_paths(spark, rows_l, rows_r)
+    assert bucketed == fast
+    assert {k: v[0] for k, v in bucketed.items()} == {1: None, 2: None, 3: None, 4: 100}
+
+
+def test_asof_bucketized_tie_at_edge_prefers_highest_order(spark):
+    """Two right rows tied at the SAME bucket-edge instant: the
+    max_by((__t, __o)) per-bucket summary must pick the same winner as
+    the fast path's (__t, __side, __o) sort — the greatest order key."""
+    edge = _ts("2024-01-01 00:02:00")
+    rows_r = [(100, 10, edge), (105, 10, edge), (103, 10, edge)]
+    rows_l = [(1, 10, edge), (2, 10, _ts("2024-01-01 00:04:00"))]
+    fast, bucketed = _asof_both_paths(spark, rows_l, rows_r)
+    assert bucketed == fast
+    assert {k: v[0] for k, v in bucketed.items()} == {1: 105, 2: 105}

@@ -317,3 +317,126 @@ def test_pii_counts(spark):
     assert rows[2] == (0, 2, 1)
     assert rows[3] == (0, 0, 0)
     assert rows[4] == (0, 0, 0)
+
+
+def test_kmeans_train_monotone_inertia_and_convergence(spark):
+    """Lloyd descent: inertia must not increase across kmeans_step
+    iterations, and kmeans_train must return the fixed point (a further
+    step moves no centroid) — the trained-quantizer contract behind
+    knn_ivf_with_centroids/semantic_dedup."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import (
+        kmeans_inertia,
+        kmeans_step,
+        kmeans_train,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cent = vecs.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    inertias = [kmeans_inertia(vecs, cent, "vec_id", "v")]
+    cur = cent
+    for _ in range(4):
+        cur = kmeans_step(vecs, cur, "vec_id", "v").select("cid", "cv", "cn")
+        inertias.append(kmeans_inertia(vecs, cur, "vec_id", "v"))
+    # monotone descent up to the 6dp mean rounding (tiny slack)
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-6, inertias
+    assert inertias[-1] < inertias[0], inertias
+
+    trained = kmeans_train(vecs, cent, "vec_id", "v", max_iter=50, tol=1e-9)
+    once_more = kmeans_step(vecs, trained, "vec_id", "v")
+    before = {r["cid"]: r["cv"] for r in trained.select("cid", "cv").collect()}
+    after = {r["cid"]: r["cv"] for r in once_more.select("cid", "cv").collect()}
+    assert before == after  # true fixed point, not just "movement < tol"
+
+
+def test_kmeans_train_raises_without_convergence(spark):
+    """max_iter=1 on a layout that needs several rounds must raise, not
+    hand back a half-trained quantizer."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import kmeans_train
+
+    # +0.1/+0.2 offsets keep every vector (and thus every centroid mean)
+    # away from the zero vector, whose cosine is undefined
+    rows = [(i, [float(i % 7) + 0.1, float((i * 3) % 5) + 0.2]) for i in range(1, 60)]
+    vecs = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cent = vecs.where(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kmeans_train(vecs, cent, "vec_id", "v", max_iter=1, tol=1e-12)
+
+
+def test_contamination_ngram_finds_cross_source_near_dups(spark):
+    """Every emitted row must be cross-source with a CORRECT exact
+    bigram Jaccard ≥ 0.8 (replayed in pure Python), rows must come in
+    both directions, and the injected 'evalset' leak path must fire.
+    (Short-doc twins legitimately fall below 0.8 — the suffix adds 4
+    bigrams — so per-twin presence is asserted only where the true
+    Jaccard clears the threshold AND the pair is long enough for the
+    s-curve's ~1.0 recall region, i.e. jaccard ≥ 0.9.)"""
+    from sgb_data_validator_spark.plans.training_queries import (
+        TEXT_TWIN_MOD,
+        TEXT_TWIN_OFFSET,
+        q_contamination_ngram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_contamination_ngram(spark, sf).collect()
+    assert out, "no contamination found though twins were injected"
+
+    def bigrams(t: str) -> set:
+        w = t.lower().strip().split()
+        return {f"{a}\x1f{b}" for a, b in zip(w, w[1:])}
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .where("text IS NOT NULL")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for d, t in list(texts.items()):
+        if d % TEXT_TWIN_MOD == 0:
+            texts[d + TEXT_TWIN_OFFSET] = t + " near duplicate suffix"
+
+    def jac(a: int, b: int) -> float:
+        ga, gb = bigrams(texts[a]), bigrams(texts[b])
+        return len(ga & gb) / len(ga | gb)
+
+    pairs = set()
+    saw_evalset = False
+    for r in out:
+        assert r["source"] != r["leaked_from_source"]
+        assert r["jaccard"] >= 0.8
+        # the confirm stage must be EXACT jaccard, not an estimate
+        assert abs(jac(r["doc_id"], r["leaked_from"]) - r["jaccard"]) < 1e-5
+        pairs.add((r["doc_id"], r["leaked_from"]))
+        saw_evalset = saw_evalset or "evalset" in (r["source"], r["leaked_from_source"])
+    assert saw_evalset, "no injected eval-leak twin was flagged"
+    # both directions present for every pair
+    assert pairs == {(b, a) for a, b in pairs}
+    # high-jaccard twins sit in the banding's ~certain-recall region
+    for origin in texts:
+        if origin >= TEXT_TWIN_OFFSET or origin % TEXT_TWIN_MOD != 0:
+            continue
+        twin = origin + TEXT_TWIN_OFFSET
+        if jac(origin, twin) >= 0.9:
+            assert (origin, twin) in pairs, f"twin of {origin} not flagged"

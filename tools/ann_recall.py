@@ -69,6 +69,23 @@ def main() -> None:
     ivf2, ivf2_1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=2))
     ivf4, ivf4_1 = topk_sets(S.knn_ivf(queries, vecs, "vec_id", "v", cent_mod=CENT_MOD, k=k, nprobe=4))
 
+    # trained quantizer: same bootstrap centroids, Lloyd-iterated to
+    # convergence — the before/after pair for kmeans_train's recall claim
+    from sgb_data_validator_spark.operators.dedup import dot
+
+    cent0 = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    trained = S.kmeans_train(vecs, cent0, "vec_id", "v", max_iter=25, tol=1e-6)
+    ivf_t1, ivf_t1_1 = topk_sets(
+        S.knn_ivf_with_centroids(queries, vecs, "vec_id", "v", trained, k=k, nprobe=1)
+    )
+    ivf_t2, ivf_t2_1 = topk_sets(
+        S.knn_ivf_with_centroids(queries, vecs, "vec_id", "v", trained, k=k, nprobe=2)
+    )
+
     def top1_recall(approx1: dict) -> float:
         # did the approximate path retrieve the true nearest neighbor
         # (the injected near-twin for twin queries)?
@@ -86,12 +103,16 @@ def main() -> None:
                     "ivf_nprobe1": recall(ivf1, exact, k),
                     "ivf_nprobe2": recall(ivf2, exact, k),
                     "ivf_nprobe4": recall(ivf4, exact, k),
+                    "ivf_trained_nprobe1": recall(ivf_t1, exact, k),
+                    "ivf_trained_nprobe2": recall(ivf_t2, exact, k),
                 },
                 "top1_recall": {
                     "lsh": top1_recall(lsh1),
                     "ivf_nprobe1": top1_recall(ivf1_1),
                     "ivf_nprobe2": top1_recall(ivf2_1),
                     "ivf_nprobe4": top1_recall(ivf4_1),
+                    "ivf_trained_nprobe1": top1_recall(ivf_t1_1),
+                    "ivf_trained_nprobe2": top1_recall(ivf_t2_1),
                 },
             }
         )
