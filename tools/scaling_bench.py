@@ -242,7 +242,7 @@ def orchestrate() -> None:
     }
     print(json.dumps(summary))
     out = os.environ.get(
-        "SCALING_BENCH_OUT", os.path.join(REPO, "BENCH_SCALING.json")
+        "SCALING_BENCH_OUT", os.path.join(REPO, "bench", "BENCH_SCALING.json")
     )
     with open(out, "w") as fh:
         json.dump({"summary": summary, "runs": list(results.values())}, fh, indent=2)
