@@ -19,7 +19,7 @@ of infinity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EPSILON = 1e-6
@@ -95,6 +95,49 @@ def psi(turns: DataFrame, baseline: DataFrame, dim: str, value_col=None) -> Data
         joined.groupBy("part")
         .agg(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"))
         .select("part", F.lit(dim).alias("dim"), "psi")
+    )
+
+
+def ks_statistic(
+    turns: DataFrame,
+    baseline: DataFrame,
+    dim: str = "ts_hour_bucket",
+    value_col=None,
+) -> DataFrame:
+    """(part, dim, ks) — two-sample Kolmogorov–Smirnov distance between
+    the per-partition hour-of-day histogram and the baseline:
+    KS = max_h |CDF_p(h) − CDF_q(h)| over buckets in ascending hour
+    order. Complements χ² (which weights per-bucket deviation) with the
+    classic max-CDF-gap statistic, sensitive to systematic shifts of
+    mass along the ordered axis (e.g. traffic moving 3 hours later).
+
+    No smoothing: a bucket absent from one side contributes p (or q) = 0
+    exactly — KS is well-defined on zero cells, unlike KL/PSI.
+
+    Plan shape: the (part, value) count shuffle from categorical_freqs
+    reduces the fact to O(parts × 24) rows; the CDF window and the
+    per-part max then run on that tiny frame (one exchange keyed by
+    part). The baseline grid is broadcast, the fact is scanned once.
+    """
+    value_col = value_col if value_col is not None else F.hour("ts").cast("string")
+    p = categorical_freqs(turns, dim, value_col).select("part", "value", "p")
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    grid = p.select("part").distinct().crossJoin(F.broadcast(q))
+    joined = (
+        p.join(grid, ["part", "value"], "full")
+        .withColumn("p", F.coalesce(F.col("p"), F.lit(0.0)))
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
+    )
+    w = Window.partitionBy("part").orderBy(F.col("value").cast("int"))
+    cum = joined.select(
+        "part",
+        F.sum("p").over(w).alias("cp"),
+        F.sum("q").over(w).alias("cq"),
+    )
+    return (
+        cum.groupBy("part")
+        .agg(F.max(F.abs(F.col("cp") - F.col("cq"))).alias("ks"))
+        .select("part", F.lit(dim).alias("dim"), "ks")
     )
 
 

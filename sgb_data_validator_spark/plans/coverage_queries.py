@@ -328,7 +328,11 @@ FROM lineitem GROUP BY 1
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per day vs the global event-type mix
     (operators/drift.py:psi — includes categories absent from a
-    partition, ε-smoothed)."""
+    partition, ε-smoothed). Global total in-plan (window over the
+    grouped per-value counts — a single-partition exchange of
+    ~|distinct roles| rows), same single-scan shape as q_drift_kl."""
+    from pyspark.sql import Window
+
     from sgb_data_validator_spark.operators.drift import psi
 
     ev = _t(spark, sf_dir, "events")
@@ -336,11 +340,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("part"),
         F.col("event_type").alias("role"),
     )
-    total = t.count()
     baseline = (
         t.groupBy(F.col("role").alias("value"))
-        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("freq"))
-        .select(F.lit("role").alias("dim"), "value", "freq")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("role").alias("dim"),
+            "value",
+            (F.col("_n") / F.sum("_n").over(Window.partitionBy())).alias("freq"),
+        )
     )
     return psi(t, baseline, "role").select("part", F.round("psi", 6).alias("psi"))
 
@@ -362,6 +369,55 @@ WITH q AS (
   FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
 )
 SELECT part, round(sum((p - q) * ln(p / q)), 6) AS psi FROM j GROUP BY part
+"""
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift of the hour-of-day histogram per day vs
+    the global mix (operators/drift.py:ks_statistic) — the max-CDF-gap
+    member of the drift family (A5), sensitive to mass shifting along
+    the ordered hour axis. Global baseline computed in-plan (window
+    over grouped counts), single fact scan."""
+    from pyspark.sql import Window
+
+    from sgb_data_validator_spark.operators.drift import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("part"), "ts")
+    baseline = (
+        t.groupBy(F.hour("ts").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("ts_hour_bucket").alias("dim"),
+            "value",
+            (F.col("_n") / F.sum("_n").over(Window.partitionBy())).alias("freq"),
+        )
+    )
+    return ks_statistic(t, baseline).select("part", F.round("ks", 6).alias("ks"))
+
+
+SQL_DRIFT_KS = """
+WITH q AS (
+  SELECT cast(hour(ts) AS varchar) AS value,
+         count(*) / cast(sum(count(*)) OVER () AS double) AS q
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, cast(hour(ts) AS varchar) AS value,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS double) AS p
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT part, value, q FROM (SELECT DISTINCT part FROM p) CROSS JOIN q
+), j AS (
+  SELECT coalesce(g.part, p.part) AS part, coalesce(g.value, p.value) AS value,
+         coalesce(p.p, 0.0) AS p, coalesce(g.q, 0.0) AS q
+  FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
+), c AS (
+  SELECT part,
+         sum(p) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cp,
+         sum(q) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cq
+  FROM j
+)
+SELECT part, round(max(abs(cp - cq)), 6) AS ks FROM c GROUP BY part
 """
 
 
@@ -624,6 +680,7 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "json_cols": (q_json_cols, SQL_JSON_COLS),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+    "drift_ks": (q_drift_ks, SQL_DRIFT_KS),
     "volume_anomaly": (q_volume_anomaly, SQL_VOLUME_ANOMALY),
     "backup_restore": (q_backup_restore, SQL_BACKUP_RESTORE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

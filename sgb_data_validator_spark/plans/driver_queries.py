@@ -566,16 +566,19 @@ _DRIVER_FRONT = [
     "quantiles", "drift_psi", "backup_restore", "sessionize",
     "top_values", "stratified_sample",
     # new this round
-    "contamination_ngram", "kmeans_train",
+    "contamination_ngram", "kmeans_train", "drift_ks",
     # core validation family + flagship + one representative per tier,
-    # kept inside the 50-slot window every round
+    # kept inside the 50-slot window every round ("hierarchy" rotated
+    # out this round to make room for drift_ks — it is driver-green in
+    # r1–r3 and stays in the local gate)
     "row_rules", "unique", "ref_orphans", "zero_children", "column_stats",
     "conformance", "drift_kl", "drift_chi2", "ts_monotonicity",
     "contiguity", "summary", "pivot", "verdicts", "transcript_pipeline",
     "text_pipeline", "streaming_row_rules", "streaming_stateful_seq",
     "streaming_windowed_verdicts", "dedup_exact", "dedup_minhash",
-    "dedup_ngram", "knn_ivf", "fuzzy_match", "hierarchy",
+    "dedup_ngram", "knn_ivf", "fuzzy_match",
 ]
+assert len(_DRIVER_FRONT) == 50, len(_DRIVER_FRONT)
 assert set(_DRIVER_FRONT) <= set(QUERIES), sorted(set(_DRIVER_FRONT) - set(QUERIES))
 QUERIES = {name: QUERIES[name] for name in _DRIVER_FRONT} | {
     name: q for name, q in QUERIES.items() if name not in set(_DRIVER_FRONT)

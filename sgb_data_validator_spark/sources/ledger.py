@@ -19,6 +19,15 @@ Storage is a parquet directory in this sandbox. On a real deployment
 this is an Iceberg table and ``record`` is an overwrite-by-partition
 commit under snapshot isolation; the read path (latest-row-wins by
 run_ts) is identical.
+
+Concurrent writers: two runs validating the same partition both append
+(append-only — no lost update); readers resolve the winner by
+(run_ts desc, run_id desc), so an exact run_ts tie — true concurrency —
+breaks deterministically on the larger run_id rather than
+nondeterministically on file listing order. This mirrors the Iceberg
+deployment, where the two commits serialize under optimistic
+concurrency and the later snapshot wins. Pinned by
+tests/test_pipeline_e2e.py::test_ledger_concurrent_writers_latest_wins.
 """
 
 from __future__ import annotations

@@ -134,6 +134,37 @@ def test_ledger_resume(spark, tables, result, tmp_path):
     assert led.pending_partitions(tables.turns).count() == 0
 
 
+def test_ledger_concurrent_writers_latest_wins(spark, tables, result, tmp_path, monkeypatch):
+    """Two concurrent runs on the same partitions both append (no lost
+    update — the store is append-only); the reader resolves the winner
+    by (run_ts desc, run_id desc). With run_ts forced EQUAL (true
+    concurrency), the tie-break is the lexicographically larger run_id,
+    deterministically — the documented Iceberg-commit analog where two
+    overwrite-by-partition commits serialize and the later snapshot wins."""
+    import sgb_data_validator_spark.sources.ledger as ledger_mod
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    part_rows = tables.turns.groupBy(F.col("part").cast("string").alias("part")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    from sgb_data_validator_spark.plans.pipeline import digest_for_ledger
+
+    monkeypatch.setattr(ledger_mod.time, "time", lambda: 1767225600.0)
+    failed = result.verdicts.withColumn("status", F.lit("FAILED"))
+    passed = result.verdicts.withColumn("status", F.lit("PASSED"))
+    # writer A (loses the tie-break), writer B (wins): same run_ts
+    led.record(passed, digest_for_ledger(result), part_rows, 1.0, "writerA", run_id="aaaa00000001")
+    led.record(failed, digest_for_ledger(result), part_rows, 1.0, "writerB", run_id="bbbb00000001")
+
+    n_parts = tables.turns.select("part").distinct().count()
+    # both appends are present — nothing was lost
+    assert led.read().count() == 2 * n_parts
+    # reader picks writer B (higher run_id at equal run_ts) ⇒ all FAILED
+    latest = led.latest()
+    assert {r.run_id for r in latest.select("run_id").distinct().collect()} == {"bbbb00000001"}
+    assert led.pending_partitions(tables.turns).count() == n_parts
+
+
 def test_empty_input(spark):
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, part string"

@@ -2,7 +2,11 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from sgb_data_validator_spark.operators.drift import drift_violations, kl_divergence
+from sgb_data_validator_spark.operators.drift import (
+    drift_violations,
+    kl_divergence,
+    ks_statistic,
+)
 from sgb_data_validator_spark.operators.stats import ColumnSpec, column_stats, stats_digest
 from sgb_data_validator_spark.operators.windows import sequence_violations
 
@@ -90,6 +94,54 @@ def test_kl_zero_on_identical_distribution(spark):
     )
     kl = kl_divergence(turns, baseline, "role").collect()[0]
     assert abs(kl.kl) < 1e-12
+
+
+def test_ks_zero_on_identical_distribution(spark):
+    turns = spark.createDataFrame(
+        [("p1", _ts(1))] * 5 + [("p1", _ts(2))] * 5,
+        "part string, ts timestamp",
+    )
+    baseline = spark.createDataFrame(
+        [("ts_hour_bucket", "1", 0.5), ("ts_hour_bucket", "2", 0.5)],
+        "dim string, value string, freq double",
+    )
+    ks = ks_statistic(turns, baseline).collect()[0]
+    assert abs(ks.ks) < 1e-12
+
+
+def test_ks_hand_computed_point_mass(spark):
+    # all partition mass at hour 1, baseline uniform over hours 1..3:
+    # CDFs p = (1, 1, 1), q = (1/3, 2/3, 1) -> KS = 2/3
+    turns = spark.createDataFrame(
+        [("p1", _ts(1))] * 9, "part string, ts timestamp"
+    )
+    baseline = spark.createDataFrame(
+        [("ts_hour_bucket", str(h), 1.0 / 3.0) for h in (1, 2, 3)],
+        "dim string, value string, freq double",
+    )
+    ks = ks_statistic(turns, baseline).collect()[0]
+    assert abs(ks.ks - 2.0 / 3.0) < 1e-12
+
+
+def test_ks_detects_ordered_shift(spark):
+    # mass moves to late hours; per-bucket sizes stay modest so chi2-style
+    # per-cell deviation is spread out, but the CDF gap accumulates:
+    # p uniform over hours 3..4, q uniform over 1..4 -> KS = 0.5.
+    # A bucket absent from the baseline (hour 5 in the "extra" part)
+    # is handled with exact zeros, no smoothing.
+    rows = [("late", _ts(3))] * 10 + [("late", _ts(4))] * 10 + [
+        ("extra", _ts(5))
+    ] * 4 + [("extra", _ts(1))] * 4
+    turns = spark.createDataFrame(rows, "part string, ts timestamp")
+    baseline = spark.createDataFrame(
+        [("ts_hour_bucket", str(h), 0.25) for h in (1, 2, 3, 4)],
+        "dim string, value string, freq double",
+    )
+    got = {r.part: r.ks for r in ks_statistic(turns, baseline).collect()}
+    assert abs(got["late"] - 0.5) < 1e-12
+    # extra: p = (.5, 0, 0, 0, .5), q = (.25, .25, .25, .25, 0)
+    # cp = (.5, .5, .5, .5, 1), cq = (.25, .5, .75, 1, 1) -> KS = .5
+    assert abs(got["extra"] - 0.5) < 1e-12
 
 
 def test_drift_fires_on_shifted_partition(spark):
