@@ -60,6 +60,48 @@ def normalize_urls(col: Column) -> Column:
     return F.regexp_replace(col, r"(https?://[^/\s]+)/+(?=\s|$)", r"$1")
 
 
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the web-pipeline
+    dedup key (extends the reference's URL normalizations F6/F7,
+    transformations.py:270-316, to the standard crawl-dedup recipe).
+    Ordered, idempotent rewrites, all codegen'd:
+
+    1. drop the fragment (``#...``)
+    2. lowercase the scheme and authority (host is case-insensitive;
+       path is NOT touched — it is case-sensitive)
+    3. strip the default port (``:80`` for http, ``:443`` for https)
+    4. drop tracking params: every ``utm_*=...`` pair, then a dangling
+       ``?``/``&`` left behind
+    5. collapse duplicate slashes in the path (not the ``//`` after the
+       scheme)
+    6. strip one trailing slash from a non-root path
+    """
+    # 1. fragment
+    out = F.regexp_replace(col, r"#.*$", "")
+    # 2. lowercase scheme://host[:port] (authority = everything before
+    #    the first /, ? past the scheme)
+    out = F.concat(
+        F.lower(F.regexp_extract(out, r"^([^:/?#]+://[^/?#]*)", 1)),
+        F.regexp_replace(out, r"^[^:/?#]+://[^/?#]*", ""),
+    )
+    # 3. default ports (capture groups, not lookarounds — the DuckDB
+    #    twin runs on RE2, which has no lookaround; keeping both engines
+    #    on the identical pattern is what makes the oracle exact)
+    out = F.regexp_replace(out, r"^(http://[^/:?#]+):80([/?]|$)", r"$1$2")
+    out = F.regexp_replace(out, r"^(https://[^/:?#]+):443([/?]|$)", r"$1$2")
+    # 4. tracking params + dangling separators (assumes utm_ appears
+    #    only as a query-param key, which URL grammar guarantees after
+    #    a ? or &; bare "utm_" path segments are out of scope)
+    out = F.regexp_replace(out, r"utm_[^&#]*&?", "")
+    out = F.regexp_replace(out, r"[?&]$", "")
+    # 5. duplicate slashes ("a//b" -> "a/b"; the char before the run is
+    #    captured so "://" survives)
+    out = F.regexp_replace(out, r"([^:/])/{2,}", r"$1/")
+    # 6. trailing slash on a non-root path (root "scheme://host/" has no
+    #    second slash to strip and stays as-is)
+    return F.regexp_replace(out, r"(://[^/?#]+/[^?#]*?)/+(\?|$)", r"$1$2")
+
+
 _URLISH = r"(?i:https?://|www\.|[a-z]+\.(?:com|org|net|de|ch|edu|gov|io|co))"
 
 

@@ -566,17 +566,18 @@ _DRIVER_FRONT = [
     "quantiles", "drift_psi", "backup_restore", "sessionize",
     "top_values", "stratified_sample",
     # new this round
-    "contamination_ngram", "kmeans_train", "drift_ks",
+    "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     # core validation family + flagship + one representative per tier,
-    # kept inside the 50-slot window every round ("hierarchy" rotated
-    # out this round to make room for drift_ks — it is driver-green in
-    # r1–r3 and stays in the local gate)
+    # kept inside the 50-slot window every round ("hierarchy" and
+    # "fuzzy_match" rotated out this round to make room for drift_ks
+    # and dedup_url — both driver-green in r1–r3 and still in the
+    # local gate)
     "row_rules", "unique", "ref_orphans", "zero_children", "column_stats",
     "conformance", "drift_kl", "drift_chi2", "ts_monotonicity",
     "contiguity", "summary", "pivot", "verdicts", "transcript_pipeline",
     "text_pipeline", "streaming_row_rules", "streaming_stateful_seq",
     "streaming_windowed_verdicts", "dedup_exact", "dedup_minhash",
-    "dedup_ngram", "knn_ivf", "fuzzy_match",
+    "dedup_ngram", "knn_ivf",
 ]
 assert len(_DRIVER_FRONT) == 50, len(_DRIVER_FRONT)
 assert set(_DRIVER_FRONT) <= set(QUERIES), sorted(set(_DRIVER_FRONT) - set(QUERIES))

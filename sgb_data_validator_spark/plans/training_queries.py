@@ -1000,6 +1000,110 @@ FROM w
 """
 
 
+# ---- dedup: canonical URL -------------------------------------------------
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the standard crawl-pipeline first pass:
+    canonicalize (functions/native.py:canonicalize_url — fragment,
+    authority case, default port, utm params, duplicate/trailing
+    slashes) and collapse exact canonical collisions. The corpus has no
+    URL column, so dirty variants are synthesized IN-PLAN from
+    doc_id: every aligned group of 4 doc_ids carries one clean + three
+    differently-dirty spellings of the same page, all of which must
+    collapse to one canonical key. The host derives from the GROUP id
+    (not the row's own ``source``, which differs within a group and
+    would make the hosts — hence the canonical keys — distinct,
+    collapsing nothing).
+
+    Scale shape: canonicalization is pure codegen'd regex column math
+    on an unshuffled scan; the collapse is ONE hash exchange keyed by
+    canonical_url (count + min doc-id argmin, map-side combined) —
+    exactly the dedup_exact plan with a computed key."""
+    from sgb_data_validator_spark.functions.native import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    gid = (F.col("doc_id") - F.col("doc_id") % 4).cast("string")
+    variant = F.col("doc_id") % 4
+    host = F.concat(
+        F.lit("s"), ((F.col("doc_id") - F.col("doc_id") % 4) % 97).cast("string"),
+        F.lit(".example.com"),
+    )
+    raw = (
+        F.when(variant == 0, F.concat(F.lit("https://"), host, F.lit("/docs/"), gid))
+        .when(
+            variant == 1,
+            F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/docs/"), gid, F.lit("#sec")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://"), host, F.lit(":443/docs/"), gid, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit("/docs//"), gid,
+                F.lit("?utm_source=x&utm_medium=y"),
+            )
+        )
+    )
+    canon = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        canonicalize_url(raw).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
+SQL_DEDUP_URL = """
+WITH h AS (
+  SELECT doc_id,
+         's' || cast((doc_id - doc_id % 4) % 97 AS varchar) || '.example.com' AS host,
+         cast(doc_id - doc_id % 4 AS varchar) AS gid
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE cast(doc_id % 4 AS int)
+      WHEN 0 THEN 'https://' || host || '/docs/' || gid
+      WHEN 1 THEN 'HTTPS://' || upper(host) || '/docs/' || gid || '#sec'
+      WHEN 2 THEN 'https://' || host || ':443/docs/' || gid || '/'
+      ELSE 'https://' || host || '/docs//' || gid || '?utm_source=x&utm_medium=y'
+    END AS raw_url
+  FROM h
+), c0 AS (
+  SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS u FROM u
+), c1 AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1))
+           || regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS u
+  FROM c0
+), c2 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u,
+           '^(http://[^/:?#]+):80([/?]|$)', '\\1\\2'),
+           '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2') AS u
+  FROM c1
+), c3 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, 'utm_[^&#]*&?', '', 'g'), '[?&]$', '') AS u
+  FROM c2
+), c4 AS (
+  SELECT doc_id, regexp_replace(u, '([^:/])/{2,}', '\\1/', 'g') AS u FROM c3
+), c5 AS (
+  SELECT doc_id,
+         regexp_replace(u, '(://[^/?#]+/[^?#]*?)/+(\\?|$)', '\\1\\2') AS canonical_url
+  FROM c4
+)
+SELECT canonical_url, cast(count(*) AS bigint) AS n_variants,
+       cast(min(doc_id) AS bigint) AS keep_doc_id
+FROM c5 GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1023,4 +1127,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION_NGRAM),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "cluster_keep_best": (q_cluster_keep_best, SQL_CLUSTER_KEEP_BEST),
+    "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
 }

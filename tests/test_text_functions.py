@@ -71,3 +71,44 @@ def test_null_and_empty_passthrough(spark):
     df = spark.createDataFrame([(None,), ("",)], "text string")
     got = [r.o for r in df.select(native.text_pipeline(F.col("text")).alias("o")).collect()]
     assert got == [None, ""]
+
+
+def test_canonicalize_url(spark):
+    cases = [
+        # fragment + authority case (path case preserved)
+        ("HTTPS://Example.COM/Path/To#frag", "https://example.com/Path/To"),
+        # default ports stripped, non-default kept
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # https:80 is NOT default — kept
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        # utm params stripped wherever they sit; real params survive
+        ("https://e.com/a?utm_source=x&b=2", "https://e.com/a?b=2"),
+        ("https://e.com/a?b=2&utm_source=x", "https://e.com/a?b=2"),
+        ("https://e.com/a?utm_a=1&utm_b=2", "https://e.com/a"),
+        # duplicate + trailing slashes; root slash untouched
+        ("https://e.com//a///b//", "https://e.com/a/b"),
+        ("https://e.com/", "https://e.com/"),
+        ("https://e.com/a/?x=1", "https://e.com/a?x=1"),
+        # idempotent on an already-canonical URL
+        ("https://e.com/a?b=2", "https://e.com/a?b=2"),
+        # no scheme -> authority rules don't fire, path rules still do
+        ("e.com/a//b/", "e.com/a/b/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in df.select(native.canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_fixed_point(spark):
+    # canonical(canonical(u)) == canonical(u) for every dirty spelling
+    dirty = [
+        "HTTPS://A.B.COM:443//x//y/?utm_c=1&k=2#z",
+        "http://a.com:80/p/",
+        "https://a.com/p?utm_only=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in dirty], "u string")
+    once = df.select(native.canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(F.col("c").alias("a"), native.canonicalize_url(F.col("c")).alias("b"))
+    assert all(r.a == r.b for r in twice.collect())
