@@ -103,3 +103,50 @@ def pack_sequences(
         (first_pack != F.expr(f"__last_offset DIV {budget}")).alias("spans_boundary"),
     )
     return packed
+
+
+def token_window_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding token-window chunking: split ``text_col`` on whitespace
+    and emit one row per window of ``window`` tokens advancing by
+    ``stride`` (the RAG / long-context chunking regime; the final
+    window may be shorter). Returns (id, chunk_idx, chunk_tokens,
+    chunk_hash) — the hash is the portable md5 fingerprint of the
+    space-joined window, so downstream chunk-level dedup composes with
+    dedup_exact without re-carrying the text.
+
+    Spark-first scale shape: pure narrow codegen — split + sequence +
+    posexplode run inside the scan stage, no shuffle, no UDF; the text
+    column never enters an exchange (only the 4 scalar outputs do).
+    Chunk starts come from ``F.sequence(0, size-1, stride)`` so a doc
+    with n tokens yields ceil(n / stride) windows, each clamped by
+    ``F.slice`` at the array end — identical to the DuckDB twin's
+    ``range(0, len, stride)`` + 1-based inclusive list slicing.
+    """
+    if not isinstance(window, int) or isinstance(window, bool) or window < 1:
+        raise ValueError(f"window must be a positive int, got {window!r}")
+    if not isinstance(stride, int) or isinstance(stride, bool) or stride < 1:
+        raise ValueError(f"stride must be a positive int, got {stride!r}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col).alias("id"),
+        words.alias("__words"),
+    )
+    starts = F.sequence(F.lit(0), F.size("__words") - 1, F.lit(stride))
+    exploded = base.select(
+        "id", "__words", F.posexplode(starts).alias("chunk_idx", "__start")
+    )
+    chunk = F.slice(F.col("__words"), F.col("__start") + 1, window)
+    return exploded.select(
+        "id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        portable_hash(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

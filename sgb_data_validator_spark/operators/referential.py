@@ -126,3 +126,37 @@ def zero_children_violations(
         F.lit(severity).alias("severity"),
         F.lit(None).cast("string").alias("part"),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+) -> DataFrame:
+    """Functional-dependency check: determinant → dependent must map
+    each determinant value to exactly ONE dependent value (the
+    aggregate-level sibling of the row rules — e.g. every conv_id has
+    one model, every source one license). Emits only violating groups:
+    (determinant…, n_distinct, n_rows, lo_value, hi_value) where
+    lo/hi are the min/max offending dependent values, the two-example
+    witness a validator report needs.
+
+    Spark-first scale shape: one groupBy on the determinant with
+    count_distinct, which Catalyst expands to the standard two-phase
+    distinct aggregation — a partial agg keyed (determinant, dependent)
+    shrinks each partition to its local distinct set before the first
+    exchange, then a narrow merge on the determinant — so a hot
+    determinant costs its distinct-count, not its row count. No join,
+    no window, dependent values never fan out.
+    """
+    dep = F.col(dependent_col)
+    return (
+        df.groupBy(*determinant_cols)
+        .agg(
+            F.count_distinct(dep).cast("bigint").alias("n_distinct"),
+            F.count(dep).cast("bigint").alias("n_rows"),
+            F.min(dep).alias("lo_value"),
+            F.max(dep).alias("hi_value"),
+        )
+        .where(F.col("n_distinct") > 1)
+    )

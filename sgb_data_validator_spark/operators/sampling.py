@@ -20,7 +20,7 @@ partition pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sgb_data_validator_spark.operators.dedup import portable_hash
@@ -93,3 +93,48 @@ def temperature_sample(
         sample_bucket(F.col(strata_col), F.col(key_col)) < F.col("__rate_bp")
     )
     return kept if keep_rate else kept.drop("__rate_bp")
+
+
+def group_topk(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic per-stratum sample of exactly min(k, |stratum|)
+    rows: the k keys with the smallest portable hash — the reproducible
+    analog of "show me k random docs per language" for eyeballing a
+    100 TB corpus, stable across runs, engines, and partitionings.
+
+    Spark-first scale shape (skew-proof exact top-k): a plain
+    ``row_number() OVER (PARTITION BY stratum)`` shuffles every row of
+    a hot stratum into ONE task. Instead phase 1 splits each stratum
+    into ``n_salts`` hash-salted sub-groups and takes the top-k of each
+    (bounded task size regardless of skew); phase 2 re-ranks the
+    ≤ n_salts*k survivors per stratum — provably exact, because every
+    global top-k row is a top-k row of its salt group. The DuckDB twin
+    is the single-window form; results are identical.
+    """
+    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+        raise ValueError(f"k must be a positive int, got {k!r}")
+    ord_hash = portable_hash(
+        F.concat_ws(SAMPLE_SEP, F.lit("topk"), F.col(key_col).cast("string"))
+    )
+    salted = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(key_col).alias("key"),
+        ord_hash.alias("__ord"),
+        (portable_hash(F.col(key_col).cast("string")) % n_salts).alias("__salt"),
+    )
+    w1 = Window.partitionBy("stratum", "__salt").orderBy("__ord", "key")
+    survivors = salted.withColumn("__rn", F.row_number().over(w1)).where(
+        F.col("__rn") <= k
+    )
+    w2 = Window.partitionBy("stratum").orderBy("__ord", "key")
+    return (
+        survivors.drop("__rn", "__salt")
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .drop("__ord")
+    )

@@ -537,12 +537,14 @@ from sgb_data_validator_spark.plans.coverage_queries import COVERAGE_QUERIES  # 
 from sgb_data_validator_spark.plans.temporal_queries import TEMPORAL_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.corpus_queries import CORPUS_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.packing_queries import PACKING_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.analysis_queries import ANALYSIS_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
 QUERIES.update(TEMPORAL_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(PACKING_QUERIES)
+QUERIES.update(ANALYSIS_QUERIES)
 
 # ---------------------------------------------------------------- ordering
 #
@@ -567,17 +569,17 @@ _DRIVER_FRONT = [
     "top_values", "stratified_sample",
     # new this round
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
-    # core validation family + flagship + one representative per tier,
-    # kept inside the 50-slot window every round ("hierarchy" and
-    # "fuzzy_match" rotated out this round to make room for drift_ks
-    # and dedup_url — both driver-green in r1–r3 and still in the
-    # local gate)
+    "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
+    # core validation family + flagship + the streaming tier, kept
+    # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
+    # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf" rotated
+    # out this round to make room for the 8 round-4 additions — all six
+    # driver-green in r1–r3 and still in the local gate)
     "row_rules", "unique", "ref_orphans", "zero_children", "column_stats",
     "conformance", "drift_kl", "drift_chi2", "ts_monotonicity",
     "contiguity", "summary", "pivot", "verdicts", "transcript_pipeline",
     "text_pipeline", "streaming_row_rules", "streaming_stateful_seq",
-    "streaming_windowed_verdicts", "dedup_exact", "dedup_minhash",
-    "dedup_ngram", "knn_ivf",
+    "streaming_windowed_verdicts",
 ]
 assert len(_DRIVER_FRONT) == 50, len(_DRIVER_FRONT)
 assert set(_DRIVER_FRONT) <= set(QUERIES), sorted(set(_DRIVER_FRONT) - set(QUERIES))
