@@ -111,6 +111,7 @@ def token_window_chunks(
     text_col: str,
     window: int,
     stride: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding token-window chunking: split ``text_col`` on whitespace
     and emit one row per window of ``window`` tokens advancing by
@@ -118,7 +119,10 @@ def token_window_chunks(
     window may be shorter). Returns (id, chunk_idx, chunk_tokens,
     chunk_hash) — the hash is the portable md5 fingerprint of the
     space-joined window, so downstream chunk-level dedup composes with
-    dedup_exact without re-carrying the text.
+    dedup_exact without re-carrying the text. ``carry_cols`` names
+    small scalar columns (source, lang, part) copied onto every chunk
+    row IN the projection — carrying them here is free (still narrow)
+    and avoids a fact×fact join to re-attach them downstream.
 
     Spark-first scale shape: pure narrow codegen — split + sequence +
     posexplode run inside the scan stage, no shuffle, no UDF; the text
@@ -137,15 +141,18 @@ def token_window_chunks(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(
         F.col(id_col).alias("id"),
+        *carry_cols,
         words.alias("__words"),
     )
     starts = F.sequence(F.lit(0), F.size("__words") - 1, F.lit(stride))
     exploded = base.select(
-        "id", "__words", F.posexplode(starts).alias("chunk_idx", "__start")
+        "id", *carry_cols, "__words",
+        F.posexplode(starts).alias("chunk_idx", "__start"),
     )
     chunk = F.slice(F.col("__words"), F.col("__start") + 1, window)
     return exploded.select(
         "id",
+        *carry_cols,
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         portable_hash(F.concat_ws(" ", chunk)).alias("chunk_hash"),

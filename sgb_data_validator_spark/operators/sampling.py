@@ -138,3 +138,52 @@ def group_topk(
         .where(F.col("rank") <= k)
         .drop("__ord")
     )
+
+
+def epoch_shuffle_manifest(
+    df: DataFrame,
+    key_col: str,
+    epochs: int,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic training-order manifest: for each epoch, assign
+    every key a shard and a position within the shard — the ordering
+    contract a data loader needs ("give me epoch e, shard s, in
+    order") that is reproducible across runs, engines, and cluster
+    sizes. Each epoch gets an INDEPENDENT permutation (the hash is
+    salted with the epoch), which is the whole point of reshuffling
+    between epochs. Returns (epoch, shard, pos, key).
+
+    Spark-first scale shape: the permutation is never global — a
+    global row_number would serialize 100 TB through one task. Keys
+    hash into ``n_shards`` shards (pick n_shards so a shard ≈ one
+    loader task, e.g. corpus_bytes / 256 MB) and the order lives
+    WITHIN the shard: one exchange on (epoch, shard), window
+    partitions bounded by construction at |corpus| / n_shards. The
+    epoch fan-out is a narrow explode of a literal sequence — the
+    text/payload never enters the manifest, only the key does."""
+    if not isinstance(epochs, int) or isinstance(epochs, bool) or epochs < 1:
+        raise ValueError(f"epochs must be a positive int, got {epochs!r}")
+    if not isinstance(n_shards, int) or isinstance(n_shards, bool) or n_shards < 1:
+        raise ValueError(f"n_shards must be a positive int, got {n_shards!r}")
+    fanned = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+    )
+    ord_hash = portable_hash(
+        F.concat_ws(
+            SAMPLE_SEP, F.lit("epoch"), F.col("epoch").cast("string"),
+            F.col("key").cast("string"),
+        )
+    )
+    sharded = fanned.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        (ord_hash % n_shards).cast("bigint").alias("shard"),
+        ord_hash.alias("__ord"),
+        "key",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("__ord", "key")
+    return (
+        sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__ord")
+    )

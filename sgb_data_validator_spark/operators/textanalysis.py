@@ -210,3 +210,59 @@ def pii_counts(text: Column) -> dict[str, Column]:
         name: F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0)).cast("bigint")
         for name, pat in PII_PATTERNS.items()
     }
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-rule Gopher-style quality-filter flags (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — published thresholds) plus
+    the composite ``keep``. Boolean per rule rather than one opaque
+    score, so a curation report can say WHICH rule dropped a doc and a
+    threshold sweep can flip one rule without rescoring the corpus.
+
+    Thresholds (integer arithmetic throughout, engine-exact):
+      * word count in [50, 100_000]
+      * mean word length in [3, 10]  (chars/words incl. separators —
+        documented delta from the paper's per-word mean; the contract
+        here is the deterministic integer formula)
+      * symbol(punct)-to-char ratio ≤ 10%
+      * ≥ 80% of words contain an alphabetic character
+      * ≥ 2 stopword hits
+
+    Pure codegen projection, zero shuffle — one pass over the text in
+    the scan stage, same scale shape as quality_features."""
+    f = quality_features(text)
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("bigint")
+    alpha_word_bp = F.floor(
+        (n_alpha_words * 10_000) / F.greatest(f["n_words"], F.lit(1))
+    ).cast("bigint")
+    flags = {
+        "word_count_ok": (f["n_words"] >= 50) & (f["n_words"] <= 100_000),
+        "mean_word_len_ok": (f["mean_word_len_e2"] >= 300)
+        & (f["mean_word_len_e2"] <= 1_000),
+        "symbol_ratio_ok": f["punct_bp"] <= 1_000,
+        "alpha_word_ok": alpha_word_bp >= 8_000,
+        "stopword_ok": f["stopword_hits"] >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return {**flags, "keep": keep}
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact every PII_PATTERNS match with its <NAME> placeholder —
+    the transform companion to pii_counts (count → gate → REDACT is
+    the standard release pipeline). Chained regexp_replace, pure
+    codegen, zero shuffle; patterns are the same RE2∩Java-safe set as
+    pii_counts so a DuckDB twin (regexp_replace(…, 'g')) stays exact.
+    Replacement order is dict order (email before ipv4 before
+    id_number) — stated because a redacted placeholder must not be
+    re-matched by a later pattern (none can: placeholders are pure
+    uppercase-alpha in angle brackets)."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

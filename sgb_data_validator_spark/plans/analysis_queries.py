@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sgb_data_validator_spark.operators import textanalysis as T
 from sgb_data_validator_spark.operators.packing import token_window_chunks
 from sgb_data_validator_spark.operators.referential import fd_violations
 from sgb_data_validator_spark.operators.sampling import group_topk
@@ -223,3 +224,242 @@ ANALYSIS_QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "fd_check": (q_fd_check, SQL_FD_CHECK),
 }
+
+
+# ----------------------------------------- chunk-level contamination
+
+# disjoint 13-token blocks — the standard n-gram contamination unit
+# (13-gram overlap), chunked without intra-doc fan-out (stride=window)
+CONTAM_WINDOW = 13
+CONTAM_STRIDE = 13
+
+
+def q_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-source contamination: a doc is contaminated to
+    the degree its 13-token blocks also appear under ANOTHER source —
+    the decontamination statistic that catches partial/embedded leaks
+    exact fingerprints and even doc-level minhash miss. Emits docs with
+    ≥1 leaked chunk: (doc_id, source, n_chunks, n_leaked, leak_bp).
+
+    Scale shape: text reduces to (id, source, chunk_hash) inside the
+    scan (narrow); one agg keyed chunk_hash over distinct (hash,
+    source) pairs marks multi-source hashes; the join back to chunk
+    rows re-uses the chunk_hash partitioning (exchange reuse, AQE can
+    broadcast the leaked-hash side — it is |dup hashes| only); final
+    per-doc agg. Payload text never enters any exchange."""
+    from sgb_data_validator_spark.operators.packing import token_window_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = token_window_chunks(
+        docs, "doc_id", "text", CONTAM_WINDOW, CONTAM_STRIDE,
+        carry_cols=("source",),
+    ).select(F.col("id").cast("bigint").alias("doc_id"), "source", "chunk_hash")
+    multi = (
+        chunks.select("chunk_hash", "source")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .select("chunk_hash")
+    )
+    marked = chunks.join(multi.withColumn("__leak", F.lit(1)), "chunk_hash", "left")
+    return (
+        marked.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.count("__leak").cast("bigint").alias("n_leaked"),
+        )
+        .where(F.col("n_leaked") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chunks",
+            "n_leaked",
+            F.floor((F.col("n_leaked") * 10_000) / F.col("n_chunks"))
+            .cast("bigint")
+            .alias("leak_bp"),
+        )
+    )
+
+
+SQL_CHUNK_CONTAMINATION = f"""
+WITH w AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, source,
+         regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(words, start + 1, start + {CONTAM_WINDOW}), ' ')), 1, 15))::BIGINT
+           AS chunk_hash
+  FROM (SELECT doc_id, source, words,
+               unnest(range(0, len(words), {CONTAM_STRIDE})) AS start
+        FROM w)
+),
+multi AS (
+  SELECT chunk_hash
+  FROM (SELECT DISTINCT chunk_hash, source FROM c)
+  GROUP BY chunk_hash HAVING count(*) > 1
+),
+agg AS (
+  SELECT c.doc_id, c.source,
+         cast(count(*) AS bigint) AS n_chunks,
+         cast(count(m.chunk_hash) AS bigint) AS n_leaked
+  FROM c LEFT JOIN multi m USING (chunk_hash)
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_chunks, n_leaked,
+       cast((n_leaked * 10000) // n_chunks AS bigint) AS leak_bp
+FROM agg WHERE n_leaked > 0
+"""
+
+
+# ------------------------------------------------- Gopher quality flags
+
+
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher-style quality flags over documents — one boolean
+    per published rule plus the composite keep, so the curation report
+    can attribute every drop. Pure codegen projection in the scan
+    stage, zero shuffle."""
+    from sgb_data_validator_spark.operators.textanalysis import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    flags = gopher_flags(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+
+
+_EN_MARKERS = ", ".join(f"'{w}'" for w in T.LANG_MARKERS["en"])
+
+SQL_GOPHER_FLAGS = f"""
+WITH f AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         cast(length(text) AS bigint) AS n_chars,
+         cast(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint)
+           AS n_words,
+         cast(len(regexp_extract_all(text, '[^\\w\\s]')) AS bigint) AS n_punct,
+         cast(len(list_filter(
+             string_split_regex(lower(trim(text)), '\\s+'),
+             w -> regexp_matches(w, '[a-z]'))) AS bigint) AS n_alpha_words,
+         cast(len(list_intersect(
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+             [{_EN_MARKERS}])) AS bigint) AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id,
+         n_words BETWEEN 50 AND 100000 AS word_count_ok,
+         cast(floor((n_chars * 100) / cast(greatest(n_words, 1) AS double))
+              AS bigint) BETWEEN 300 AND 1000 AS mean_word_len_ok,
+         cast(floor((n_punct * 10000) / cast(greatest(n_chars, 1) AS double))
+              AS bigint) <= 1000 AS symbol_ratio_ok,
+         cast(floor((n_alpha_words * 10000) / cast(greatest(n_words, 1) AS double))
+              AS bigint) >= 8000 AS alpha_word_ok,
+         stop_hits >= 2 AS stopword_ok
+  FROM f
+)
+SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+       alpha_word_ok, stopword_ok,
+       (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        AND alpha_word_ok AND stopword_ok) AS keep
+FROM r
+"""
+
+
+# ------------------------------------------------ epoch-order manifest
+
+EPOCHS = 2
+N_SHARDS = 8
+
+
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-epoch × 8-shard training-order manifest over
+    documents (epoch, shard, pos, doc_id) — independent permutation
+    per epoch, order local to a shard so no global sort exists at any
+    scale."""
+    from sgb_data_validator_spark.operators.sampling import epoch_shuffle_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    m = epoch_shuffle_manifest(docs, "doc_id", EPOCHS, N_SHARDS)
+    return m.select(
+        "epoch", "shard", "pos", F.col("key").cast("bigint").alias("doc_id")
+    )
+
+
+SQL_EPOCH_ORDER = f"""
+WITH fanned AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, unnest(range(0, {EPOCHS})) AS epoch
+  FROM documents
+),
+h AS (
+  SELECT epoch, doc_id,
+         ('0x' || substr(md5('epoch' || chr(31) || epoch::VARCHAR
+                          || chr(31) || doc_id::VARCHAR), 1, 15))::BIGINT AS ord
+  FROM fanned
+)
+SELECT cast(epoch AS bigint) AS epoch,
+       cast(ord % {N_SHARDS} AS bigint) AS shard,
+       cast(row_number() OVER (PARTITION BY epoch, ord % {N_SHARDS}
+                               ORDER BY ord, doc_id) AS bigint) AS pos,
+       doc_id
+FROM h
+"""
+
+
+# ---------------------------------------------------- PII redaction
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-then-redact over documents: per-pattern PII counts plus
+    the portable hash of the redacted text — the release-pipeline
+    transform (the synthetic corpus has no PII by construction, so
+    counts are zero and redacted_hash equals the identity hash here;
+    the pattern semantics are pinned by pytest on constructed rows,
+    and this query pins the PLUMBING end-to-end against the twin).
+    Pure codegen, zero shuffle."""
+    from sgb_data_validator_spark.operators.dedup import portable_hash
+    from sgb_data_validator_spark.operators.textanalysis import (
+        pii_counts, redact_pii)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        portable_hash(redact_pii(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+SQL_PII_REDACT = r"""
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+         AS n_email,
+       cast(len(regexp_extract_all(text,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS bigint) AS n_ipv4,
+       cast(len(regexp_extract_all(text, '\b\d{9,}\b')) AS bigint)
+         AS n_id_number,
+       ('0x' || substr(md5(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+             '\b\d{9,}\b', '<ID_NUMBER>', 'g')), 1, 15))::BIGINT
+         AS redacted_hash
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+ANALYSIS_QUERIES.update(
+    {
+        "chunk_contamination": (q_chunk_contamination, SQL_CHUNK_CONTAMINATION),
+        "gopher_flags": (q_gopher_flags, SQL_GOPHER_FLAGS),
+        "epoch_order": (q_epoch_order, SQL_EPOCH_ORDER),
+        "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    }
+)

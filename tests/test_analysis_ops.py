@@ -149,3 +149,166 @@ def test_fd_violations_two_phase_distinct_agg(spark):
     plan = plan_of(fd_violations(df, ["det"], "dep"), "simple")
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan and "Window" not in plan
+
+
+# ----------------------------------------------------- gopher flags
+
+
+def test_gopher_flags_each_rule_fires_independently(spark):
+    from sgb_data_validator_spark.operators.textanalysis import gopher_flags
+
+    good = "the quick brown fox and the lazy dog of dover went to town " * 5
+    cases = [
+        ("good", good, None),                      # passes every rule
+        ("short", "the and of to words here", "word_count_ok"),
+        ("symbols", ("the and of to " + "!!! ??? ;;; " * 20 + "word " * 40),
+         "symbol_ratio_ok"),
+        ("nonalpha", ("the and of to " + "123 456 789 " * 30 + "word " * 10),
+         "alpha_word_ok"),
+        ("nostop", ("zebra quagga okapi lemur " * 20), "stopword_ok"),
+    ]
+    df = spark.createDataFrame(
+        [(n, t) for n, t, _ in cases], ["name", "text"]
+    )
+    flags = gopher_flags(F.col("text"))
+    got = {
+        r["name"]: r.asDict()
+        for r in df.select("name", *[c.alias(k) for k, c in flags.items()]).collect()
+    }
+    assert got["good"]["keep"] is True
+    for name, _text, broken in cases:
+        if broken is None:
+            continue
+        assert got[name][broken] is False, (name, got[name])
+        assert got[name]["keep"] is False
+
+
+def test_gopher_flags_projection_is_shuffle_free(spark):
+    from sgb_data_validator_spark.operators.textanalysis import gopher_flags
+
+    df = spark.createDataFrame([("x y z",)], ["text"])
+    flags = gopher_flags(F.col("text"))
+    plan = plan_of(df.select(*[c.alias(k) for k, c in flags.items()]))
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------- PII redaction
+
+
+def test_redact_pii_replaces_each_pattern(spark):
+    from sgb_data_validator_spark.operators.textanalysis import (
+        pii_counts, redact_pii)
+
+    rows = [
+        ("mail me at jo.doe+x@example.org today", "<EMAIL>", "email"),
+        ("server at 10.0.255.7 is down", "<IPV4>", "ipv4"),
+        ("account 123456789 overdrawn", "<ID_NUMBER>", "id_number"),
+        ("clean text with no pii at all", None, None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["text"])
+    counts = pii_counts(F.col("text"))
+    out = df.select(
+        "text",
+        redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).collect()
+    by_text = {r["text"]: r for r in out}
+    for text, placeholder, field in rows:
+        r = by_text[text]
+        if placeholder is None:
+            assert r["red"] == text
+            assert r["email"] == r["ipv4"] == r["id_number"] == 0
+        else:
+            assert placeholder in r["red"], r["red"]
+            assert r[field] == 1
+
+
+def test_redact_pii_placeholder_not_rematched(spark):
+    from sgb_data_validator_spark.operators.textanalysis import redact_pii
+
+    # an email whose redaction must not then match ipv4/id_number
+    df = spark.createDataFrame([("a 123456789@9.9.9.9.example.com b",)], ["text"])
+    red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+    assert red == "a <EMAIL> b"
+
+
+# ----------------------------------------------- epoch shuffle manifest
+
+
+def test_epoch_manifest_is_per_epoch_permutation(spark):
+    from sgb_data_validator_spark.operators.sampling import epoch_shuffle_manifest
+
+    keys = [(i,) for i in range(200)]
+    df = spark.createDataFrame(keys, ["doc_id"])
+    m = epoch_shuffle_manifest(df, "doc_id", epochs=3, n_shards=4).collect()
+    by_epoch = {}
+    for r in m:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for rows in by_epoch.values():
+        # each key exactly once per epoch
+        assert sorted(r["key"] for r in rows) == list(range(200))
+        # positions contiguous from 1 within each (epoch, shard)
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        assert set(shards) <= set(range(4))
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # epochs are DIFFERENT permutations (overwhelmingly likely by hash)
+    order0 = [r["key"] for r in sorted(by_epoch[0], key=lambda r: (r["shard"], r["pos"]))]
+    order1 = [r["key"] for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))]
+    assert order0 != order1
+
+
+def test_epoch_manifest_matches_python_replay(spark):
+    from sgb_data_validator_spark.operators.sampling import epoch_shuffle_manifest
+
+    keys = list(range(50))
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = sorted(
+        (r["epoch"], r["shard"], r["pos"], r["key"])
+        for r in epoch_shuffle_manifest(df, "doc_id", 2, 3).collect()
+    )
+    exp = []
+    for epoch in range(2):
+        hashed = [
+            (py_hash60("epoch\x1f%d\x1f%d" % (epoch, k)), k) for k in keys
+        ]
+        shards = {}
+        for h, k in hashed:
+            shards.setdefault(h % 3, []).append((h, k))
+        for shard, members in shards.items():
+            for pos, (_h, k) in enumerate(sorted(members), start=1):
+                exp.append((epoch, shard, pos, k))
+    assert got == sorted(exp)
+
+
+def test_epoch_manifest_validates_args(spark):
+    from sgb_data_validator_spark.operators.sampling import epoch_shuffle_manifest
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        epoch_shuffle_manifest(df, "doc_id", 0, 4)
+    with pytest.raises(ValueError):
+        epoch_shuffle_manifest(df, "doc_id", 2, 0)
+    with pytest.raises(ValueError):
+        epoch_shuffle_manifest(df, "doc_id", True, 4)
+
+
+# ----------------------------------------------- chunk contamination
+
+
+def test_chunk_carry_cols_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "srcA", "a b c d"), (2, "srcB", "a b c d")],
+        ["doc_id", "source", "text"],
+    )
+    out = token_window_chunks(
+        df, "doc_id", "text", 2, 2, carry_cols=("source",)
+    ).collect()
+    assert {(r["id"], r["source"]) for r in out} == {(1, "srcA"), (2, "srcB")}
+    # identical text => identical chunk hashes across sources
+    h1 = sorted(r["chunk_hash"] for r in out if r["id"] == 1)
+    h2 = sorted(r["chunk_hash"] for r in out if r["id"] == 2)
+    assert h1 == h2
