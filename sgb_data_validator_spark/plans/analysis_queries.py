@@ -241,12 +241,18 @@ def q_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact fingerprints and even doc-level minhash miss. Emits docs with
     ≥1 leaked chunk: (doc_id, source, n_chunks, n_leaked, leak_bp).
 
-    Scale shape: text reduces to (id, source, chunk_hash) inside the
-    scan (narrow); one agg keyed chunk_hash over distinct (hash,
-    source) pairs marks multi-source hashes; the join back to chunk
-    rows re-uses the chunk_hash partitioning (exchange reuse, AQE can
-    broadcast the leaked-hash side — it is |dup hashes| only); final
-    per-doc agg. Payload text never enters any exchange."""
+    Scale shape: ONE scan — text reduces to (id, source, chunk_hash)
+    inside the scan stage (narrow) and never re-reads (the naive
+    "build a multi-source hash set, join back" shape scans + re-chunks
+    the text twice; at 100 TB the scan IS the cost). "Hash appears
+    under ≥2 distinct sources" collapses to min(source) ≠ max(source)
+    over a chunk_hash window — two exchanges total (hash window, then
+    per-doc agg), both moving only ~24-byte (id, source, hash) rows.
+    A pathologically common boilerplate chunk makes one hot window
+    partition of those tiny rows (same bounded-skew shape the verdict
+    accepted for dedup_exact's fingerprint window); a pipeline that
+    already materializes the token_chunks manifest can feed this from
+    the manifest and skip the chunking entirely."""
     from sgb_data_validator_spark.operators.packing import token_window_chunks
 
     docs = _t(spark, sf_dir, "documents")
@@ -254,20 +260,15 @@ def q_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", CONTAM_WINDOW, CONTAM_STRIDE,
         carry_cols=("source",),
     ).select(F.col("id").cast("bigint").alias("doc_id"), "source", "chunk_hash")
-    multi = (
-        chunks.select("chunk_hash", "source")
-        .distinct()
-        .groupBy("chunk_hash")
-        .agg(F.count(F.lit(1)).alias("__ns"))
-        .where(F.col("__ns") > 1)
-        .select("chunk_hash")
+    w = Window.partitionBy("chunk_hash")
+    marked = chunks.withColumn(
+        "__leak", F.min("source").over(w) != F.max("source").over(w)
     )
-    marked = chunks.join(multi.withColumn("__leak", F.lit(1)), "chunk_hash", "left")
     return (
         marked.groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.count("__leak").cast("bigint").alias("n_leaked"),
+            F.count_if(F.col("__leak")).cast("bigint").alias("n_leaked"),
         )
         .where(F.col("n_leaked") > 0)
         .select(
@@ -298,16 +299,17 @@ c AS (
                unnest(range(0, len(words), {CONTAM_STRIDE})) AS start
         FROM w)
 ),
-multi AS (
-  SELECT chunk_hash
-  FROM (SELECT DISTINCT chunk_hash, source FROM c)
-  GROUP BY chunk_hash HAVING count(*) > 1
+marked AS (
+  SELECT doc_id, source,
+         min(source) OVER (PARTITION BY chunk_hash)
+           <> max(source) OVER (PARTITION BY chunk_hash) AS leak
+  FROM c
 ),
 agg AS (
-  SELECT c.doc_id, c.source,
+  SELECT doc_id, source,
          cast(count(*) AS bigint) AS n_chunks,
-         cast(count(m.chunk_hash) AS bigint) AS n_leaked
-  FROM c LEFT JOIN multi m USING (chunk_hash)
+         cast(count_if(leak) AS bigint) AS n_leaked
+  FROM marked
   GROUP BY 1, 2
 )
 SELECT doc_id, source, n_chunks, n_leaked,
