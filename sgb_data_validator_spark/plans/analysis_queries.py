@@ -465,3 +465,140 @@ ANALYSIS_QUERIES.update(
         "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     }
 )
+
+
+# --------------------------------------------------- PageRank centrality
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+# parts and suppliers share an id space only after offsetting parts
+PR_PART_OFFSET = 1_000_000
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, d=0.85) over the symmetrized
+    supplier↔part supply graph from lineitem — the corpus-shaped use is
+    ranking documents/sources by similarity-graph centrality; the
+    fixtures' supply graph exercises identical plumbing. Emits
+    (node, rank_r6). Iterative loop with localCheckpoint per round and
+    a persisted pre-partitioned edge frame (operators/graph.py). The
+    twin unrolls the same 5 iterations as chained CTEs."""
+    from sgb_data_validator_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("bigint").alias("s"),
+        (F.col("l_partkey") + PR_PART_OFFSET).cast("bigint").alias("p"),
+    )
+    edges = li.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    pr = pagerank(edges, PR_ITERS, PR_DAMPING)
+    return pr.select("node", F.round("rank", 6).alias("rank_r6"))
+
+
+def _sql_pagerank() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT nd.node,
+         (1 - {PR_DAMPING}) / n.n
+           + {PR_DAMPING} * coalesce(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (SELECT s.dst AS node, sum(r.rank * s.w) AS s
+             FROM {prev} r JOIN shares s ON r.node = s.src
+             GROUP BY 1) c ON nd.node = c.node
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT cast(l_suppkey AS bigint) AS src,
+         cast(l_partkey + {PR_PART_OFFSET} AS bigint) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT cast(l_partkey + {PR_PART_OFFSET} AS bigint),
+         cast(l_suppkey AS bigint)
+  FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+n AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+deg AS (SELECT src, cast(count(*) AS double) AS outdeg FROM e GROUP BY 1),
+shares AS (SELECT e.src, e.dst, 1.0 / deg.outdeg AS w
+           FROM e JOIN deg USING (src)),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+{",".join(iters)}
+SELECT node, round(rank, 6) AS rank_r6 FROM {prev}
+"""
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+# ------------------------------------------- ORC + CSV source round-trips
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity (the columnar-format sibling of S4/S5's
+    JSON round-trip): events written as ORC, read back with an explicit
+    schema, aggregated — matching the parquet-side oracle proves the
+    round-trip is lossless. ORC ships in Spark's core distribution, so
+    unlike Avro this path needs no extra jar."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgb_orc_")
+    _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("overwrite").orc(tmp)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).orc(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_type, cast(count(*) AS bigint) AS n,
+       cast(sum(cast(value AS decimal(18,6))) AS double) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink parity: integer/string columns only (integers
+    round-trip text exactly; doubles would re-test float formatting,
+    not the source). Explicit schema on read — no inference scan."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgb_csv_")
+    _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).write.mode("overwrite").option("header", True).csv(tmp)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).option("header", True).csv(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_type, cast(count(*) AS bigint) AS n,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users,
+       cast(sum(event_id) AS bigint) AS sum_ids
+FROM events GROUP BY event_type
+"""
+
+
+ANALYSIS_QUERIES.update(
+    {
+        "pagerank": (q_pagerank, SQL_PAGERANK),
+        "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+        "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    }
+)

@@ -312,3 +312,56 @@ def test_chunk_carry_cols_pass_through(spark):
     h1 = sorted(r["chunk_hash"] for r in out if r["id"] == 1)
     h2 = sorted(r["chunk_hash"] for r in out if r["id"] == 2)
     assert h1 == h2
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_matches_python_replay(spark):
+    from sgb_data_validator_spark.operators.graph import pagerank
+
+    # small directed graph with a dangling node (4 -> nothing)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, 4, 0.85).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = float(len(nodes))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            share = rank[s] / len(ds)
+            for d in ds:
+                contrib[d] += share
+        rank = {v: (1.0 - 0.85) / n + 0.85 * contrib[v] for v in nodes}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    from sgb_data_validator_spark.operators.graph import pagerank
+
+    # symmetrized graph: no dangling mass, ranks must sum to 1
+    base = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = base + [(d, s) for s, d in base]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = [r["rank"] for r in pagerank(df, 6).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-9
+    assert all(r > 0 for r in ranks)
+
+
+def test_pagerank_validates_iterations(spark):
+    from sgb_data_validator_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, 0)
+    with pytest.raises(ValueError):
+        pagerank(df, True)
