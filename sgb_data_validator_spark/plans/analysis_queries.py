@@ -602,3 +602,61 @@ ANALYSIS_QUERIES.update(
         "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     }
 )
+
+
+# -------------------------------------- streaming: stream-static join
+
+
+def q_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast-join enrichment — the remaining
+    Structured Streaming join shape (stateless stream ⋈ static dim):
+    events streamed with availableNow, broadcast-joined to the customer
+    dim on user_id, sunk exactly-once through the checkpoint, then the
+    sink is aggregated per nation. Batch SQL over the same tables is
+    the oracle, proving plan parity. At scale the static side is a
+    broadcast (re-broadcast per micro-batch is the documented Spark
+    cost model for stream-static joins; a dim too big to broadcast
+    becomes a shuffled stream-static join by dropping the hint)."""
+    import tempfile
+
+    from sgb_data_validator_spark.streaming.incremental import run_available_now
+
+    tmp = tempfile.mkdtemp(prefix="sgb_stream_enrich_")
+    _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double"
+    ).parquet(f"{tmp}/in")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", F.coalesce("nationkey", F.lit(-1)).alias("nationkey"), "value"
+    )
+    query = run_available_now(
+        enriched, out_path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt"
+    )
+    query.awaitTermination()
+    back = spark.read.schema(
+        "event_id bigint, nationkey bigint, value double"
+    ).parquet(f"{tmp}/out")
+    return back.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_STREAMING_ENRICHMENT = """
+SELECT coalesce(c.c_nationkey, -1)::BIGINT AS nationkey,
+       cast(count(*) AS bigint) AS n_events,
+       cast(sum(cast(e.value AS decimal(18,6))) AS double) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+ANALYSIS_QUERIES.update(
+    {"streaming_enrichment": (q_streaming_enrichment, SQL_STREAMING_ENRICHMENT)}
+)

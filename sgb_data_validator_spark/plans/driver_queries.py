@@ -571,19 +571,20 @@ _DRIVER_FRONT = [
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
     "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
-    "pagerank", "orc_roundtrip", "csv_roundtrip",
+    "pagerank", "orc_roundtrip", "csv_roundtrip", "streaming_enrichment",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",
     # "column_stats", "conformance", "drift_kl", "drift_chi2",
-    # "ts_monotonicity", "contiguity", "pivot" rotated out this round
-    # to make room for the 15 round-4 additions — all thirteen
+    # "ts_monotonicity", "contiguity", "pivot", "summary" rotated out
+    # this round to make room for the 16 round-4 additions — all
+    # fourteen
     # driver-green in r1–r3 and still in the local gate; the drift,
     # profiling, and window families keep in-window representatives via
     # drift_psi/drift_ks, histogram/quantiles/top_values, and
     # sessionize)
     "row_rules", "unique", "ref_orphans", "zero_children",
-    "summary", "verdicts", "transcript_pipeline",
+    "verdicts", "transcript_pipeline",
     "text_pipeline", "streaming_row_rules", "streaming_stateful_seq",
     "streaming_windowed_verdicts",
 ]
