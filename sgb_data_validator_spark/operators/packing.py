@@ -136,9 +136,13 @@ def token_window_chunks(
         raise ValueError(f"window must be a positive int, got {window!r}")
     if not isinstance(stride, int) or isinstance(stride, bool) or stride < 1:
         raise ValueError(f"stride must be a positive int, got {stride!r}")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # trim ALL whitespace, not F.trim (which strips only 0x20 — a
+    # tab/newline-padded doc would otherwise emit empty-string tokens
+    # at the edges; caught by the hypothesis adversary texts=['\t'])
+    cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    words = F.split(cleaned, r"\s+")
     base = df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.col(text_col).isNotNull() & (cleaned != "")
     ).select(
         F.col(id_col).alias("id"),
         *carry_cols,

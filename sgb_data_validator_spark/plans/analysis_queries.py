@@ -69,9 +69,11 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_CHUNKS = f"""
 WITH w AS (
   SELECT cast(doc_id AS bigint) AS doc_id,
-         regexp_split_to_array(trim(text), '\\s+') AS words
+         regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
   FROM documents
-  WHERE text IS NOT NULL AND trim(text) <> ''
+  WHERE text IS NOT NULL
+    AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
 ),
 s AS (
   SELECT doc_id, words,
@@ -286,9 +288,11 @@ def q_chunk_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CHUNK_CONTAMINATION = f"""
 WITH w AS (
   SELECT cast(doc_id AS bigint) AS doc_id, source,
-         regexp_split_to_array(trim(text), '\\s+') AS words
+         regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words
   FROM documents
-  WHERE text IS NOT NULL AND trim(text) <> ''
+  WHERE text IS NOT NULL
+    AND regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
 ),
 c AS (
   SELECT doc_id, source,

@@ -85,3 +85,100 @@ def test_temperature_sample_property(spark, rows, alpha):
     assert {rid for rid, lang in rows if lang == smallest} <= got
     if alpha == 1.0:
         assert got == {rid for rid, _ in rows}
+
+
+# ----------------------------------------- round-4 additions: properties
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=80, unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 3, 7]),
+    n_salts=st.sampled_from([1, 2, 16]),
+)
+def test_group_topk_exact_for_any_salt_count(spark, rows, k, n_salts):
+    """The salted two-phase top-k must equal the single-window form for
+    EVERY salt count — the provable-exactness claim (every global top-k
+    row is a top-k row of its salt group), explored over random strata
+    sizes including sub-k strata and n_salts=1 (degenerate: one phase)."""
+    from sgb_data_validator_spark.operators.sampling import group_topk
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r["stratum"], r["key"], r["rank"])
+        for r in group_topk(df, "doc_id", "lang", k, n_salts=n_salts).collect()
+    )
+    by_stratum = {}
+    for rid, lang in rows:
+        by_stratum.setdefault(lang, []).append(
+            (py_hash60("topk\x1f%d" % rid), rid)
+        )
+    exp = []
+    for lang, members in by_stratum.items():
+        for rank, (_h, rid) in enumerate(sorted(members)[:k], start=1):
+            exp.append((lang, rid, rank))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=40),
+        min_size=1, max_size=20,
+    ),
+    window=st.sampled_from([1, 3, 8]),
+    stride=st.sampled_from([1, 2, 5, 9]),
+)
+def test_token_chunks_property(spark, texts, window, stride):
+    """Chunk manifest equals the pure-Python sliding-window replay for
+    arbitrary whitespace-noisy texts, including stride > window (gaps),
+    stride < window (overlap), and all-whitespace docs (dropped)."""
+    from sgb_data_validator_spark.operators.packing import token_window_chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id"], r["chunk_idx"], r["chunk_tokens"], r["chunk_hash"])
+        for r in token_window_chunks(df, "doc_id", "text", window, stride).collect()
+    )
+    exp = []
+    for rid, text in rows:
+        if text is None or text.strip() == "":
+            continue
+        words = text.strip().split()
+        for idx, start in enumerate(range(0, len(words), stride)):
+            chunk = words[start : start + window]
+            exp.append((rid, idx, len(chunk), py_hash60(" ".join(chunk))))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 100_000), min_size=1, max_size=60, unique=True),
+    epochs=st.sampled_from([1, 3]),
+    n_shards=st.sampled_from([1, 5]),
+)
+def test_epoch_manifest_property(spark, keys, epochs, n_shards):
+    """Manifest equals the pure-Python replay for arbitrary key sets and
+    shard counts — pins the hash-salt layout and the within-shard
+    ordering contract."""
+    from sgb_data_validator_spark.operators.sampling import epoch_shuffle_manifest
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = sorted(
+        (r["epoch"], r["shard"], r["pos"], r["key"])
+        for r in epoch_shuffle_manifest(df, "doc_id", epochs, n_shards).collect()
+    )
+    exp = []
+    for epoch in range(epochs):
+        shards = {}
+        for k in keys:
+            h = py_hash60("epoch\x1f%d\x1f%d" % (epoch, k))
+            shards.setdefault(h % n_shards, []).append((h, k))
+        for shard, members in shards.items():
+            for pos, (_h, k) in enumerate(sorted(members), start=1):
+                exp.append((epoch, shard, pos, k))
+    assert got == sorted(exp)
