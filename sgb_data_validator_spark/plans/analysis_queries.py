@@ -127,11 +127,15 @@ QUALIFY rank <= {TOPK_K}
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf·idf (idf = ln(N/df), rounded at 6
-    like every ln in the corpus tier). Scale shape: three narrow
-    shuffles on progressively smaller frames — (doc_id, term) tf agg,
-    term-window doc frequency, doc_id-window rank — with the corpus
-    size N folded in as a broadcast one-row agg (never an eager
-    count()). Text leaves the scan only as exploded terms."""
+    like every ln in the corpus tier). Scale shape: (doc_id, term) tf
+    agg, then document frequency as a groupBy(term) + equi-join back —
+    NOT a term-partitioned window: a hot term (any stopword) would put
+    its entire (doc, term) row set in one window task, and AQE cannot
+    split window partitions, but it CAN skew-split a join and the df
+    aggregation itself is map-side-combined. Corpus size N folds in as
+    a broadcast one-row agg (never an eager count()); text leaves the
+    scan only as exploded terms. Final per-doc rank window partitions
+    are bounded by each doc's distinct-term count."""
     docs = _t(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     )
@@ -142,8 +146,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    w_term = Window.partitionBy("term")
-    with_df = tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_df = tf.join(dfreq, "term")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = with_df.crossJoin(F.broadcast(n)).select(
         "doc_id",
