@@ -28,7 +28,7 @@ no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime: affine products stay < 2^62, no bigint overflow
@@ -651,4 +651,80 @@ def embedding_near_duplicates(
             ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- winnowing
+
+def positional_gram_hashes(text: Column, n: int = 3) -> Column:
+    """Word n-gram hashes of ``text`` in document order, duplicates
+    KEPT — winnowing is position-aware, unlike the distinct set
+    word_shingles feeds to minhash. Same portable hash construction
+    (md5-prefix → bigint mod p) so the DuckDB oracle replays it."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        (F.trim(text) != "") & (F.size(words) >= n),
+        F.transform(
+            idx,
+            lambda i: portable_hash(F.concat_ws("\x1f", F.slice(words, i + 1, n)))
+            % MERSENNE_31,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word n-gram in
+    position order, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum. Guarantees every shared run of
+    ``w + n - 1`` words contributes at least one SHARED fingerprint,
+    with expected density 2/(w+1) — a position-aware complement to
+    set-minhash (which a reordered bag of the same words fools).
+
+    Plan shape: grams posexplode to (id, pos, h) — narrow, inside the
+    scan stage; ONE shuffle partitions by id for the two window
+    functions (per-doc gram count + running window min); the distinct
+    collapses per-doc without a further exchange (same partitioning).
+    Only full windows select (pos ≤ m − w), matching the canonical
+    m − w + 1 window count."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_gram_hashes(F.col(text_col), n)).alias("pos", "h"),
+    )
+    by_doc = Window.partitionBy("id")
+    by_pos = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("m", F.count(F.lit(1)).over(by_doc))
+        .withColumn("wmin", F.min("h").over(by_pos))
+        .where(F.col("pos") <= F.col("m") - w)
+        .select("id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_candidate_pairs(
+    fingerprints: DataFrame, min_shared: int = 2, max_doc_freq: int = 50
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints:
+    docs sharing ≥ ``min_shared`` fingerprints, with the shared count
+    as the match strength.
+
+    Skew guard: fingerprints present in more than ``max_doc_freq``
+    docs (boilerplate n-grams — the winnowing analog of stop-words)
+    are dropped BEFORE the self-join via a count-over-window on the
+    already-fp-partitioned frame, bounding the join at
+    Σ min(freq, cap)² instead of Σ freq²."""
+    w = Window.partitionBy("fp")
+    fps = fingerprints.withColumn("df", F.count(F.lit(1)).over(w)).where(
+        (F.col("df") > 1) & (F.col("df") <= max_doc_freq)
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
     )

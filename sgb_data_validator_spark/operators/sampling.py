@@ -187,3 +187,34 @@ def epoch_shuffle_manifest(
         sharded.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__ord")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    train_bp: int = 9800,
+    val_bp: int = 9900,
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment.
+
+    The split key is the CONTENT fingerprint (canonical word-set md5,
+    operators.dedup.canonical_fingerprint), not the row id: exact and
+    reorder-only duplicates hash to the same bucket and therefore land
+    in the SAME split by construction — the standard guard against
+    test-set contamination that id-keyed splits silently violate.
+    Basis-point thresholds: bucket < train_bp → train, < val_bp → val,
+    else test (defaults 98% / 1% / 1%).
+
+    Scale shape: one md5 + two comparisons per row in the scan stage —
+    zero shuffle, zero state, reproducible on any engine and any
+    partitioning (the DuckDB oracle replays it exactly)."""
+    from sgb_data_validator_spark.operators.dedup import canonical_fingerprint
+
+    bucket = portable_hash(canonical_fingerprint(F.col(content_col))) % 10_000
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_bp, F.lit("train"))
+        .when(F.col("split_bucket") < val_bp, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

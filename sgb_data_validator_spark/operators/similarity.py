@@ -380,3 +380,108 @@ def knn_lsh(
         )
     )
     return _topk(scored, k)
+
+
+# ------------------------------------------------- scalar quantization
+
+def absmax_params(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension max(|x|) over the corpus as a ONE-ROW frame with
+    one aligned array — the symmetric scalar-quantization codebook.
+    posexplode → map-side-combined max per dim → fold the ≤ dim rows
+    back into an array sorted by dimension index (collect_list is tiny
+    and order-fixed by the array_sort on the unique index).
+
+    Symmetric (zero-preserving) quantization is the right codebook for
+    dot-product/cosine scoring: it is LINEAR, so directions — and
+    therefore cosines — survive quantization up to rounding noise. An
+    affine min/max codebook shifts the origin and silently distorts
+    every angle."""
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+    mm = ex.groupBy("i").agg(F.max(F.abs(F.col("x").cast("double"))).alias("ma"))
+    return mm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "ma"))), lambda s: s["ma"]
+        ).alias("scales")
+    )
+
+
+def quantize_sq8(vec: F.Column, scales: F.Column) -> F.Column:
+    """Symmetric int8 quantization: q_i = floor(x/absmax·127 + 0.5) ∈
+    [−127, 127], 0 where the dimension is all-zero. Pure double
+    arithmetic in a fixed expression order, so any IEEE-754 engine
+    (the DuckDB oracle included) reproduces it bit-for-bit."""
+    return F.zip_with(
+        vec,
+        scales,
+        lambda x, m: F.when(m > 0, F.floor(x.cast("double") / m * 127 + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+def int_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact int64 dot product of two small-int arrays — order-
+    independent (integer addition is associative), so Spark and the
+    SQL oracle agree without any rounding grain."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda u, v: u * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_sq8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors scored in int8-quantized space — the
+    memory-bandwidth path: a 100 TB float32 corpus re-scores from a
+    4×-smaller int8 representation, and because the quantized dot
+    products are exact integers the score is engine-portable with no
+    float-summation-order caveat at all (unlike the float paths, the
+    round(…, 4) here is cosmetic).
+
+    Plan shape: ONE extra pass over the corpus for the per-dim absmax
+    codebook (a one-row frame, broadcast back via crossJoin — the same
+    shape temperature_sample uses for its rate table); quantization is
+    zip_with codegen inside the scan; scoring is the proven
+    broadcast(queries) × partitioned-corpus nested loop + top-k window
+    from knn_bruteforce."""
+    params = F.broadcast(absmax_params(corpus, vec_col))
+
+    def _q(df: DataFrame, out_id: str) -> DataFrame:
+        return df.crossJoin(params).select(
+            F.col(id_col).alias(out_id),
+            quantize_sq8(F.col(vec_col), F.col("scales")).alias(f"{out_id}_q"),
+        )
+
+    q = F.broadcast(
+        _q(queries, "query_id").select(
+            "query_id", "query_id_q", int_dot("query_id_q", "query_id_q").alias("qn")
+        )
+    )
+    c = _q(corpus, "neighbor_id").select(
+        "neighbor_id", "neighbor_id_q", int_dot("neighbor_id_q", "neighbor_id_q").alias("cn")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where((F.col("query_id") != F.col("neighbor_id")) & (F.col("qn") > 0) & (F.col("cn") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                int_dot("query_id_q", "neighbor_id_q").cast("double")
+                / F.sqrt((F.col("qn") * F.col("cn")).cast("double")),
+                4,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qcos")
+    )

@@ -266,3 +266,45 @@ def redact_pii(text: Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the token distribution — the
+    quality signal that separates natural prose (high entropy) from
+    generated/boilerplate repetition (low entropy) independently of
+    the n-gram repetition_score. Emits (id, n_tokens, n_distinct,
+    entropy, norm_entropy) with entropy in nats, norm_entropy =
+    H / ln(n_distinct) ∈ [0, 1] (0 when a doc has ≤ 1 distinct token).
+
+    Plan shape: tokens explode inside the scan stage (narrow; the text
+    column never leaves the scan), then TWO map-side-combined
+    aggregations over small (id, token, n) rows: counts per (id,
+    token), then the -Σ p·ln p fold per id. Hash-partitioning by id is
+    reused between the two aggs (second groupBy key is a prefix of the
+    first), so AQE plans one real exchange. Rounded to 6 decimals —
+    the sum is order-dependent in the last bits; the grain makes both
+    engines agree."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    # entropy needs the doc total inside the per-token term: rewrite it
+    # as H = ln(N) - (Σ n·ln n)/N — one pass, no join back for totals.
+    per_doc = counts.groupBy("id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("__sum_nlnn"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__sum_nlnn") / F.col("n_tokens")
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1, F.round(h / F.log(F.col("n_distinct").cast("double")), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

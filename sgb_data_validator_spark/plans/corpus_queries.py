@@ -203,8 +203,141 @@ def q_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- count-min sketch
+
+# sketch geometry: depth 4 / width 512 bounds overestimation at
+# e·N/512 per row with confidence 1 − e^−4; threshold = 0.2% of the
+# token stream (integer DIV so both engines agree exactly)
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_THRESHOLD_DIV = 500
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (Cormode &
+    Muthukrishnan 2005) — the bounded-memory companion to the HLL
+    distinct sketch: which tokens exceed 0.2% of the stream, with the
+    sketch's estimate next to the exact count so the CMS guarantee
+    (est ≥ exact, bounded overshoot) is visible and oracle-checked.
+
+    Scale shape: the sketch build is ONE pass — each occurrence
+    projects to CMS_DEPTH (row, bucket) pairs in-row and the groupBy's
+    map-side combine collapses every task to ≤ d·w cells before a
+    ~2048-row shuffle; the ≤ d·w-cell sketch then BROADCASTS back onto
+    the candidate side. The exact-count groupBy here is the
+    verification harness (and the candidate source); a 10^12-token
+    production pass keeps only the sketch + a candidate stream (e.g.
+    the previous day's heavy hitters) and never shuffles per-token
+    rows. Threshold is computed in-plan from a broadcast one-row total
+    (no driver-side count action)."""
+    from sgb_data_validator_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    sketch = cms_build(toks, "tok", CMS_DEPTH, CMS_WIDTH)
+    est = cms_estimate(exact, sketch, "tok", CMS_DEPTH, CMS_WIDTH)
+    total = F.broadcast(exact.agg(F.sum("exact_n").alias("__total")))
+    return (
+        est.crossJoin(total)
+        .where(F.col("est_n") >= F.expr(f"__total DIV {CMS_THRESHOLD_DIV}"))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+SQL_CMS_TOPK = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+exact AS (SELECT tok, cast(count(*) AS bigint) AS exact_n FROM t2 GROUP BY tok),
+cells AS (
+  SELECT r.r AS row,
+         (('0x' || substr(md5(r.r::VARCHAR || chr(31) || tok), 1, 15))::BIGINT
+           % {CMS_WIDTH}) AS bucket
+  FROM t2, range({CMS_DEPTH}) r(r)
+),
+sketch AS (SELECT row, bucket, cast(count(*) AS bigint) AS cell_n FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT tok, exact_n, r.r AS row,
+         (('0x' || substr(md5(r.r::VARCHAR || chr(31) || tok), 1, 15))::BIGINT
+           % {CMS_WIDTH}) AS bucket
+  FROM exact, range({CMS_DEPTH}) r(r)
+),
+est AS (
+  SELECT tok, exact_n, min(cell_n) AS est_n
+  FROM probes JOIN sketch USING (row, bucket) GROUP BY 1, 2
+),
+tot AS (SELECT sum(exact_n) AS total FROM exact)
+SELECT tok AS token, exact_n, est_n,
+       cast(est_n - exact_n AS bigint) AS overcount
+FROM est, tot WHERE est_n >= total // {CMS_THRESHOLD_DIV}
+"""
+
+
+# ------------------------------------------------- token entropy
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    quality signal separating natural prose from low-entropy generated
+    or boilerplate repetition, orthogonal to the n-gram
+    repetition_score. See operators.textanalysis.token_entropy for the
+    single-pass H = ln N − (Σ n·ln n)/N shape."""
+    from sgb_data_validator_spark.operators.textanalysis import token_entropy
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    return token_entropy(
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
+        "doc_id",
+        "text",
+    ).select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_distinct", "entropy", "norm_entropy"
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         cast(sum(n) AS bigint) AS n_tokens,
+         cast(count(*) AS bigint) AS n_distinct,
+         sum(n * ln(n::DOUBLE)) AS sum_nlnn
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens::DOUBLE) - sum_nlnn / n_tokens, 6) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN round((ln(n_tokens::DOUBLE) - sum_nlnn / n_tokens)
+                       / ln(n_distinct::DOUBLE), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM per_doc
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "perplexity_unigram": (q_perplexity_unigram, SQL_PERPLEXITY_UNIGRAM),
     "stats_hll": (q_stats_hll, None),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
 }

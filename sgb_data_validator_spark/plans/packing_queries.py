@@ -342,10 +342,53 @@ LEFT JOIN kept k USING (lang)
 """
 
 
+# ------------------------------------------------- train/val/test split
+
+SPLIT_TRAIN_BP = 9800
+SPLIT_VAL_BP = 9900
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split bucket hashes
+    the CONTENT fingerprint, not the row id, so exact and reorder-only
+    duplicates land in the same split by construction — the guard an
+    id-keyed split silently violates when the corpus still contains
+    dups. Zero shuffle: one md5 + two comparisons per row in the scan
+    stage. See operators.sampling.split_assign."""
+    from sgb_data_validator_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return split_assign(
+        docs, "doc_id", "text", train_bp=SPLIT_TRAIN_BP, val_bp=SPLIT_VAL_BP
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("split_bucket").cast("bigint").alias("split_bucket"),
+        "split",
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH f AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, lang,
+         (('0x' || substr(md5(md5(array_to_string(
+              list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))),
+              ' '))), 1, 15))::BIGINT) % 10000 AS split_bucket
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, split_bucket,
+       CASE WHEN split_bucket < {SPLIT_TRAIN_BP} THEN 'train'
+            WHEN split_bucket < {SPLIT_VAL_BP} THEN 'val'
+            ELSE 'test' END AS split
+FROM f
+"""
+
+
 PACKING_QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "temperature_sample": (q_temperature_sample, SQL_TEMPERATURE_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
     "mix_report": (q_mix_report, SQL_MIX_REPORT),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
 }

@@ -1104,6 +1104,111 @@ FROM c5 GROUP BY 1 HAVING count(*) > 1
 """
 
 
+# ---- winnowing -------------------------------------------------------
+
+WINNOW_N = 3        # word-gram length
+WINNOW_W = 4        # hashes per selection window (density 2/(w+1))
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 50
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware near-dup pairs via winnowing fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003): any shared run of
+    WINNOW_W + WINNOW_N − 1 words is guaranteed to contribute a shared
+    fingerprint — the local-similarity complement to set-minhash,
+    which a reordered bag of the same words fools. See
+    operators.dedup.winnow_fingerprints for the plan shape (one
+    id-partitioned exchange for both window functions, boilerplate
+    fingerprints capped before the self-join)."""
+    docs = _docs_with_twins(spark, sf_dir)
+    fps = D.winnow_fingerprints(docs, "doc_id", "text", n=WINNOW_N, w=WINNOW_W)
+    pairs = D.winnow_candidate_pairs(
+        fps, min_shared=WINNOW_MIN_SHARED, max_doc_freq=WINNOW_MAX_DF
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "shared_fp",
+    )
+
+
+SQL_DEDUP_WINNOW = f"""
+WITH {SQL_DOCS_TWINS},
+w AS (
+  SELECT doc_id, {SQL_WORDS} AS words FROM docs_twins
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT doc_id, start AS pos,
+         (('0x' || substr(md5(array_to_string(
+              list_slice(words, start + 1, start + {WINNOW_N}), chr(31))), 1, 15))::BIGINT
+            % {P31}) AS h
+  FROM (SELECT doc_id, words, unnest(range(0, len(words) - {WINNOW_N} + 1)) AS start
+        FROM w WHERE len(words) >= {WINNOW_N})
+),
+win AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id AS id, wmin AS fp FROM win WHERE pos <= m - {WINNOW_W}),
+flt AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+  WHERE df > 1 AND df <= {WINNOW_MAX_DF}
+)
+SELECT cast(a.id AS bigint) AS id_a, cast(b.id AS bigint) AS id_b,
+       cast(count(*) AS bigint) AS shared_fp
+FROM flt a JOIN flt b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# ---- int8-quantized similarity search --------------------------------
+
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors scored in uint8-quantized space — the
+    4×-smaller memory-bandwidth ANN path. Quantized dot products are
+    exact integers, so unlike the float knn paths the score is
+    engine-portable with no summation-order caveat. See
+    operators.similarity.knn_sq8."""
+    vecs = _vectors_with_twins(spark, sf_dir)
+    return S.knn_sq8(_query_vectors(vecs), vecs, "vec_id", "v", k=5)
+
+
+SQL_KNN_SQ8 = f"""
+WITH {SQL_VECTORS_TWINS},
+ex AS (SELECT vec_id, r.i AS i, v[r.i + 1] AS x FROM alle, range({DIM}) r(i)),
+mm AS (SELECT i, max(abs(x)) AS ma FROM ex GROUP BY i),
+params AS (SELECT list(ma ORDER BY i) AS scales FROM mm),
+qv AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM} + 1), i ->
+           CASE WHEN scales[i] > 0
+                THEN cast(floor(v[i] / scales[i] * 127 + 0.5) AS BIGINT)
+                ELSE 0 END) AS q
+  FROM alle, params
+),
+nv AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qv),
+qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn FROM nv WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qs.qq, c.q) / sqrt(qs.qn * c.n2), 4) AS qcos
+  FROM qs CROSS JOIN nv c
+  WHERE qs.query_id <> c.vec_id AND qs.qn > 0 AND c.n2 > 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cast(rank AS int) AS rank, qcos FROM ranked WHERE rank <= 5
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1128,4 +1233,6 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "cluster_keep_best": (q_cluster_keep_best, SQL_CLUSTER_KEEP_BEST),
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
+    "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
+    "knn_sq8": (q_knn_sq8, SQL_KNN_SQ8),
 }
