@@ -572,21 +572,23 @@ _DRIVER_FRONT = [
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
     "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
     "pagerank", "orc_roundtrip", "csv_roundtrip", "streaming_enrichment",
+    "cms_topk", "token_entropy", "dedup_winnow", "knn_sq8",
+    "split_assign",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",
     # "column_stats", "conformance", "drift_kl", "drift_chi2",
     # "ts_monotonicity", "contiguity", "pivot", "summary" rotated out
-    # this round to make room for the 16 round-4 additions — all
-    # fourteen
+    # this round to make room for the 16 round-4 additions, then
+    # "ref_orphans", "zero_children", "text_pipeline",
+    # "streaming_row_rules", "streaming_windowed_verdicts" for the 5
+    # late-round-4 additions — all rotated-out entries are
     # driver-green in r1–r3 and still in the local gate; the drift,
     # profiling, and window families keep in-window representatives via
     # drift_psi/drift_ks, histogram/quantiles/top_values, and
     # sessionize)
-    "row_rules", "unique", "ref_orphans", "zero_children",
-    "verdicts", "transcript_pipeline",
-    "text_pipeline", "streaming_row_rules", "streaming_stateful_seq",
-    "streaming_windowed_verdicts",
+    "row_rules", "unique",
+    "verdicts", "transcript_pipeline", "streaming_stateful_seq",
 ]
 assert len(_DRIVER_FRONT) == 50, len(_DRIVER_FRONT)
 assert set(_DRIVER_FRONT) <= set(QUERIES), sorted(set(_DRIVER_FRONT) - set(QUERIES))

@@ -1170,7 +1170,7 @@ GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 # ---- int8-quantized similarity search --------------------------------
 
 def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k cosine neighbors scored in uint8-quantized space — the
+    """Top-k cosine neighbors scored in symmetric-int8-quantized space — the
     4×-smaller memory-bandwidth ANN path. Quantized dot products are
     exact integers, so unlike the float knn paths the score is
     engine-portable with no summation-order caveat. See
