@@ -179,6 +179,47 @@ def minhash_sig_array(hvs: Column, k: int) -> Column:
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    band_rows: int = 2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """The LSH band index of a corpus: (id, band_key), k/band_rows rows
+    per doc — the reusable banding stage behind minhash_candidate_pairs
+    (self-join) and incremental dedup (new-batch bands joined against a
+    stored base-snapshot index). Band keys depend only on the doc's own
+    text, so banding a subset equals banding the corpus then filtering."""
+    # shingle-less docs (null / fewer than n words) are dropped BEFORE
+    # banding: array_min over an empty array is null and concat_ws skips
+    # nulls, so every such doc would otherwise share every band key —
+    # one giant bucket and a quadratic self-join on a real corpus
+    hashed = df.where(has_shingles(F.col(text_col), shingle_n)).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
+    )
+    sigs = hashed.select("id", minhash_sig_array(F.col("hvs"), k).alias("sig"))
+    # band fan-out via ONE explode (a union of per-band selects would
+    # recompute the whole md5+permutation chain once per band per join
+    # side); band keys are STRUCTS (band_idx, signature slice), not
+    # concatenated strings: the join hashes 8 bigints instead of
+    # building and hashing an ~80-char string per (doc, band) —
+    # measured ~25% off the whole pass at sf0.1, with bit-identical
+    # pair output (the key is internal to the equi-join; only equality
+    # matters)
+    n_bands = k // band_rows
+    keys = [
+        F.struct(
+            F.lit(bi).alias("b"),
+            F.slice("sig", bi * band_rows + 1, band_rows).alias("s"),
+        )
+        for bi in range(n_bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*keys)).alias("band_key"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,34 +237,9 @@ def minhash_candidate_pairs(
     cluster size, so cost is Σ cluster², the unavoidable output size.
     Hot buckets (giant boilerplate clusters) would be capped upstream by
     exact dedup running first."""
-    # shingle-less docs (null / fewer than n words) are dropped BEFORE
-    # banding: array_min over an empty array is null and concat_ws skips
-    # nulls, so every such doc would otherwise share every band key —
-    # one giant bucket and a quadratic self-join on a real corpus
-    hashed = df.where(has_shingles(F.col(text_col), shingle_n)).select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("hvs"),
-    )
-    sigs = hashed.select("id", minhash_sig_array(F.col("hvs"), k).alias("sig"))
-    # band fan-out via ONE explode (a union of per-band selects would
-    # recompute the whole md5+permutation chain once per band per join
-    # side); the banded frame is tiny (id + band_key) and self-joined,
-    # so persist it — both join sides then read the cache.
-    # band keys are STRUCTS (band_idx, signature slice), not
-    # concatenated strings: the join hashes 8 bigints instead of
-    # building and hashing an ~80-char string per (doc, band) —
-    # measured ~25% off the whole pass at sf0.1, with bit-identical
-    # pair output (the key is internal to the equi-join; only equality
-    # matters)
-    n_bands = k // band_rows
-    keys = [
-        F.struct(
-            F.lit(bi).alias("b"),
-            F.slice("sig", bi * band_rows + 1, band_rows).alias("s"),
-        )
-        for bi in range(n_bands)
-    ]
-    banded = sigs.select("id", F.explode(F.array(*keys)).alias("band_key")).persist()
+    # the banded frame is tiny (id + band_key) and self-joined, so
+    # persist it — both join sides then read the cache
+    banded = minhash_band_keys(df, id_col, text_col, k, band_rows, shingle_n).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -727,4 +743,102 @@ def winnow_candidate_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
         .where(F.col("shared_fp") >= min_shared)
+    )
+
+
+# ------------------------------------------------------- prefix filtering
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_bp: int = 8000,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """EXACT Jaccard set-similarity join via prefix filtering
+    (Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao et al. "PPJoin",
+    WWW 2008) — every pair whose distinct word-``shingle_n``-gram sets
+    have Jaccard ≥ threshold_bp/10000, with NO false negatives, unlike
+    the probabilistic minhash/simhash paths.
+
+    The filter: order each doc's distinct shingles by GLOBAL document
+    frequency ascending (rarest first, shingle as tie-break — one
+    shared total order for the whole corpus), keep only the first
+    p = |set| − ⌈t·|set|⌉ + 1. Two sets with Jaccard ≥ t MUST collide
+    on at least one prefix shingle (pigeonhole on the shared order), so
+    joining prefixes is complete; the length filter t·|a| ≤ |b| ≤ |a|/t
+    prunes further inside the join condition.
+
+    Scale shape: shingles explode narrow inside the scan; ONE shuffle
+    on shingle for the document-frequency agg, whose partitioning the
+    join-back reuses (same key); ONE shuffle on id for the two window
+    functions (size + rank share a partition ordering). The candidate
+    self-join is on prefix shingles — by construction each doc's RAREST
+    shingles, so bucket occupancy for shingle g is at most df(g) and
+    common shingles enter prefixes only for docs too small to hold
+    anything rarer: the Σ occupancy² blow-up of a naive shingle
+    self-join is cut to the rare tail. The pruning needs a real rare
+    tail to bite, hence the n-gram default: per-WORD df in a
+    small-vocabulary corpus is huge everywhere (this synthetic corpus
+    draws from ~40 words — word-set prefixes would degenerate toward
+    all-pairs), while 4-gram df is a long df≈1 tail on any corpus.
+    Verification joins candidates back to the shingle table (linear in
+    |pairs| × shingles-per-doc). All arithmetic is integer (basis
+    points, ceil via (a+9999) DIV 10000), so any engine replays it
+    bit-for-bit.
+    """
+    if not isinstance(threshold_bp, int) or not (0 < threshold_bp <= 10000):
+        raise ValueError(f"threshold_bp must be an int in (0, 10000], got {threshold_bp!r}")
+    toks = df.where(has_shingles(F.col(text_col), shingle_n)).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    by_id = Window.partitionBy("id")
+    rare_first = Window.partitionBy("id").orderBy("df", "tok")
+    sized = (
+        toks.join(dfreq, "tok")
+        .withColumn("sz", F.count(F.lit(1)).over(by_id))
+        .withColumn("rk", F.row_number().over(rare_first))
+    )
+    # p = sz − ceil(t·sz) + 1, in pure integer math (float ceil(0.8·35)
+    # is engine-dependent in the last ulp; (a + 9999) DIV 10000 is not)
+    plen = F.col("sz") - F.expr(f"({threshold_bp} * sz + 9999) DIV 10000") + 1
+    prefix = sized.where(F.col("rk") <= plen).select("id", "tok", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J ≥ t ⇒ t·|a| ≤ |b| and t·|b| ≤ |a|
+            & (F.col("a.sz") * threshold_bp <= F.col("b.sz") * 10000)
+            & (F.col("b.sz") * threshold_bp <= F.col("a.sz") * 10000),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    shared = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    uni = F.col("a_sz") + F.col("b_sz") - F.col("shared")
+    return (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("a_sz")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("b_sz")), "id_b")
+        .where(F.col("shared") * 10000 >= threshold_bp * uni)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("bigint").alias("shared_tokens"),
+            uni.cast("bigint").alias("union_tokens"),
+            F.expr("(10000 * shared) DIV (a_sz + b_sz - shared)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
     )

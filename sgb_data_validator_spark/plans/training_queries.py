@@ -1209,6 +1209,261 @@ SELECT query_id, neighbor_id, cast(rank AS int) AS rank, qcos FROM ranked WHERE 
 """
 
 
+# ---- exact similarity join: prefix filtering --------------------------
+
+PREFIX_JACCARD_BP = 8000   # Jaccard threshold in basis points
+PREFIX_SHINGLE_N = 4       # word 4-grams: the high-cardinality set space
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.8 similarity join over distinct word-4-gram
+    sets via prefix filtering (Chaudhuri et al. ICDE 2006 / PPJoin) —
+    the no-false-negatives complement to the minhash/simhash LSH paths,
+    which trade recall for speed. Twins (appended 3-word suffix) sit at
+    J = (g−3)/g ≈ 0.94 for a g-gram doc, above the 0.8 gate. See
+    operators/dedup.py:prefix_filter_pairs for the plan shape and the
+    rare-tail pruning argument."""
+    pairs = D.prefix_filter_pairs(
+        _docs_with_twins(spark, sf_dir), "doc_id", "text",
+        threshold_bp=PREFIX_JACCARD_BP, shingle_n=PREFIX_SHINGLE_N,
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "shared_tokens",
+        "union_tokens",
+        "jaccard_bp",
+    )
+
+
+SQL_DEDUP_PREFIX = f"""
+WITH {SQL_DOCS_TWINS},
+w AS (
+  SELECT doc_id AS id, {SQL_WORDS} AS words FROM docs_twins
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tk AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, len(words) - {PREFIX_SHINGLE_N} + 2),
+           i -> array_to_string(list_slice(words, i, i + {PREFIX_SHINGLE_N} - 1), chr(31))
+         ))) AS tok
+  FROM w WHERE len(words) >= {PREFIX_SHINGLE_N}
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+st AS (
+  SELECT id, tok,
+         count(*) OVER (PARTITION BY id) AS sz,
+         row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rk
+  FROM tk JOIN dfreq USING (tok)
+),
+pre AS (
+  SELECT id, tok, sz FROM st
+  WHERE rk <= sz - ({PREFIX_JACCARD_BP} * sz + 9999) // 10000 + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b
+    ON a.tok = b.tok AND a.id < b.id
+   AND a.sz * {PREFIX_JACCARD_BP} <= b.sz * 10000
+   AND b.sz * {PREFIX_JACCARD_BP} <= a.sz * 10000
+),
+sizes AS (SELECT id, count(*) AS sz FROM tk GROUP BY id),
+sh AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN tk ta ON ta.id = c.id_a
+  JOIN tk tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+       cast(shared AS bigint) AS shared_tokens,
+       cast(sa.sz + sb.sz - shared AS bigint) AS union_tokens,
+       cast((10000 * shared) // (sa.sz + sb.sz - shared) AS bigint) AS jaccard_bp
+FROM sh JOIN sizes sa ON sa.id = sh.id_a JOIN sizes sb ON sb.id = sh.id_b
+WHERE shared * 10000 >= {PREFIX_JACCARD_BP} * (sa.sz + sb.sz - shared)
+"""
+
+
+# ---- incremental dedup: new batch vs base snapshot ---------------------
+
+INC_NEW_MOD = 7      # doc_id % 7 == 3 → the "new batch"; twins also new
+INC_NEW_REM = 3
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: screen a NEW batch against an existing BASE
+    corpus snapshot without reprocessing the base — the incremental
+    production pattern (a crawl lands every day; the base's fingerprint
+    and LSH band indexes are precomputed once and stored). Every new
+    doc gets a verdict: 'exact_dup' (canonical fingerprint already in
+    base), 'near_dup' (shares ≥1 minhash band with a base doc — same
+    k=32/r=8 bigram-shingle geometry as dedup_minhash), or 'new', plus
+    the smallest matching base doc_id.
+
+    Batch split is deterministic: new = injected suffix-twins ∪ every
+    7th-with-remainder-3 natural doc; base = the rest. Twins land as
+    near_dup (their parents are mostly in base), natural cross-split
+    exact duplicates as exact_dup.
+
+    Scale shape: both probes are equi-joins of the SMALL new side
+    against narrow base-side indexes — (fp, min_id) for exact,
+    (band_key, id) for near — never against base text; at 10^12 base
+    docs those indexes are the stored artifact and the join keys are
+    already partitioned by fp/band_key from the previous run. Verdict
+    assembly is two left joins on the new batch's ids (broadcastable:
+    one row per new doc)."""
+    docs = _docs_with_twins(spark, sf_dir)
+    is_new = (F.col("doc_id") >= TEXT_TWIN_OFFSET) | (
+        F.col("doc_id") % INC_NEW_MOD == INC_NEW_REM
+    )
+    base = docs.where(~is_new)
+    new = docs.where(is_new)
+
+    base_fp = (
+        base.select(D.canonical_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_base_id"))
+    )
+    new_fp = new.select(
+        "doc_id", D.canonical_fingerprint(F.col("text")).alias("fp")
+    )
+    exact = new_fp.join(base_fp, "fp").select("doc_id", "exact_base_id")
+
+    base_bands = D.minhash_band_keys(
+        base, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    ).select(F.col("id").alias("base_id"), "band_key")
+    new_bands = D.minhash_band_keys(
+        new, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    ).select(F.col("id").alias("doc_id"), "band_key")
+    near = (
+        new_bands.join(base_bands, "band_key")
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("near_base_id"))
+    )
+
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.when(F.col("exact_base_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_base_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_base_id", "near_base_id")
+            .cast("bigint")
+            .alias("matched_base_id"),
+        )
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH {_sql_minhash_cte()},
+newdocs AS (
+  SELECT doc_id, text FROM docs_twins
+  WHERE doc_id >= {TEXT_TWIN_OFFSET} OR doc_id % {INC_NEW_MOD} = {INC_NEW_REM}
+),
+basedocs AS (
+  SELECT doc_id, text FROM docs_twins
+  WHERE NOT (doc_id >= {TEXT_TWIN_OFFSET} OR doc_id % {INC_NEW_MOD} = {INC_NEW_REM})
+),
+bfp AS (
+  SELECT md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fp,
+         min(doc_id) AS exact_base_id
+  FROM basedocs GROUP BY 1
+),
+nfp AS (
+  SELECT doc_id, md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fp
+  FROM newdocs
+),
+ex AS (SELECT doc_id, exact_base_id FROM nfp JOIN bfp USING (fp)),
+nb AS (SELECT b.doc_id, b.band_key FROM bands b JOIN newdocs USING (doc_id)),
+bb AS (SELECT b.doc_id AS base_id, b.band_key FROM bands b JOIN basedocs USING (doc_id)),
+nr AS (
+  SELECT nb.doc_id, min(bb.base_id) AS near_base_id
+  FROM nb JOIN bb USING (band_key) GROUP BY 1
+)
+SELECT cast(n.doc_id AS bigint) AS doc_id,
+       CASE WHEN ex.exact_base_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_base_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       cast(coalesce(ex.exact_base_id, nr.near_base_id) AS bigint) AS matched_base_id
+FROM newdocs n
+LEFT JOIN ex ON ex.doc_id = n.doc_id
+LEFT JOIN nr ON nr.doc_id = n.doc_id
+"""
+
+
+# ---- domain mix report -------------------------------------------------
+
+DOMAIN_BLOCKLIST = ("sample.net",)
+_TLDS = ("example.com", "example.org", "sample.net")
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus mix: doc count, distinct hosts,
+    corpus share in basis points, and a blocklist flag — the crawl-
+    curation report that decides domain-level inclusion before any
+    text-level work. The corpus has no URL column, so hosts are
+    synthesized in-plan from doc_id (same convention as dedup_url):
+    host = s<doc_id mod 97>.<tld picked by doc_id mod 3>; the
+    registrable domain is the last two labels.
+
+    Scale shape: host/domain derivation is pure codegen on the
+    unshuffled scan; ONE map-side-combined agg on the (tiny-cardinality)
+    domain key; the corpus total joins back from a broadcast one-row
+    agg (the temperature_sample pattern), so the fact is scanned
+    once and never shuffled. Share is integer basis points (DIV), so
+    any engine replays it exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_TLDS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_TLDS[1]))
+        .otherwise(F.lit(_TLDS[2]))
+    )
+    host = F.concat(F.lit("s"), (F.col("doc_id") % 97).cast("string"), F.lit("."), tld)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    per_domain = (
+        docs.select(host.alias("host"), domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+    )
+    total = F.broadcast(per_domain.agg(F.sum("n_docs").alias("__total")))
+    return per_domain.crossJoin(total).select(
+        "domain",
+        "n_docs",
+        "n_hosts",
+        F.expr("(10000 * n_docs) DIV __total").cast("bigint").alias("share_bp"),
+        F.col("domain").isin(*DOMAIN_BLOCKLIST).alias("blocked"),
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH h AS (
+  SELECT 's' || cast(doc_id % 97 AS varchar) || '.' ||
+         CASE cast(doc_id % 3 AS int)
+           WHEN 0 THEN '{_TLDS[0]}' WHEN 1 THEN '{_TLDS[1]}' ELSE '{_TLDS[2]}'
+         END AS host
+  FROM documents
+),
+d AS (SELECT host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM h),
+per AS (
+  SELECT domain, cast(count(*) AS bigint) AS n_docs,
+         cast(count(DISTINCT host) AS bigint) AS n_hosts
+  FROM d GROUP BY domain
+),
+tot AS (SELECT sum(n_docs) AS total FROM per)
+SELECT domain, n_docs, n_hosts,
+       cast((10000 * n_docs) // total AS bigint) AS share_bp,
+       domain IN ('{DOMAIN_BLOCKLIST[0]}') AS blocked
+FROM per, tot
+"""
+
+
 TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1235,4 +1490,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_url": (q_dedup_url, SQL_DEDUP_URL),
     "dedup_winnow": (q_dedup_winnow, SQL_DEDUP_WINNOW),
     "knn_sq8": (q_knn_sq8, SQL_KNN_SQ8),
+    "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
 }
