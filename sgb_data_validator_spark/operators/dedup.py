@@ -792,7 +792,7 @@ def prefix_filter_pairs(
     toks = df.where(has_shingles(F.col(text_col), shingle_n)).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
-    )
+    ).persist()  # consumed five times: df agg, rank join, both verify sides, sizes
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     by_id = Window.partitionBy("id")
     rare_first = Window.partitionBy("id").orderBy("df", "tok")

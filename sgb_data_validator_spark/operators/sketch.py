@@ -99,3 +99,72 @@ def cms_estimate(
         )
     est = reduce(F.least, [F.coalesce(F.col(f"__n{r}"), F.lit(0)) for r in range(depth)])
     return out.select(*carried, est.cast("bigint").alias("est_n"))
+
+
+# ------------------------------------------------------------- bloom filter
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 3, m: int = 4096) -> DataFrame:
+    """Build an ``m``-bit Bloom filter over ``key_col`` as a ONE-ROW
+    frame holding a DENSE array<bigint> of m/32 32-bit words (column
+    ``words``; 32 bits per word keeps every shift far from the signed
+    overflow both engines reject at 1 << 63) — the constant-size broadcast membership structure
+    (Bloom, CACM 1970). Hash family is the salted portable md5
+    construction shared with the CMS (``cms_bucket``), so the DuckDB
+    oracle replays the filter word-for-word.
+
+    Scale shape: ONE pass over the keys — each row projects to ``k``
+    bucket ints in-row; bit_or with map-side combine collapses every
+    task to ≤ m/64 partial words before a tiny shuffle; the dense
+    word array folds out of a map literal (missing words → 0). The
+    result is O(m) bytes REGARDLESS of key cardinality — at 10^12 keys
+    this broadcasts where the exact key set cannot."""
+    if m % 32 != 0 or m <= 0:
+        raise ValueError(f"m must be a positive multiple of 32, got {m!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k!r}")
+    buckets = df.select(
+        F.explode(
+            F.array(*[cms_bucket(F.col(key_col), i, m) for i in range(k)])
+        ).alias("bucket")
+    )
+    words = buckets.groupBy(F.expr("bucket DIV 32").alias("w")).agg(
+        F.expr("bit_or(shiftleft(cast(1 AS bigint), cast(bucket % 32 AS int)))").alias(
+            "bits"
+        )
+    )
+    m_words = m // 32
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("__mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_words - 1)),
+            lambda i: F.coalesce(F.try_element_at(F.col("__mp"), i), F.lit(0).cast("bigint")),
+        ).alias("words")
+    )
+
+
+def bloom_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame, k: int = 3, m: int = 4096
+) -> DataFrame:
+    """Append a ``bloom_hit`` column: true iff ALL ``k`` bucket bits of
+    ``key_col`` are set in the broadcast filter. No false negatives
+    (every inserted key hits); false-positive rate ≈ (set-bit
+    fraction)^k — callers confirm hits with an exact join against the
+    (much smaller) candidate set. Pure per-row integer math against a
+    broadcast one-row word array: the probed fact never shuffles, and
+    each bit test is O(1) (element_at on the dense array + shift),
+    not a scan of the filter."""
+    probed = df.crossJoin(F.broadcast(bloom))
+    bucket_cols = [f"__bloom_b{i}" for i in range(k)]
+    for i, c in enumerate(bucket_cols):
+        probed = probed.withColumn(c, cms_bucket(F.col(key_col), i, m))
+    hit = F.lit(True)
+    for c in bucket_cols:
+        # SQL-string form: shiftright with a COLUMN shift amount is
+        # SQL-only (the Python helper requires an int literal); DIV and
+        # the & 1 mask mirror the DuckDB twin token-for-token
+        hit = hit & F.expr(
+            f"(shiftright(element_at(words, cast({c} DIV 32 AS int) + 1),"
+            f" cast({c} % 32 AS int)) & 1) = 1"
+        )
+    return probed.withColumn("bloom_hit", hit).drop("words", *bucket_cols)

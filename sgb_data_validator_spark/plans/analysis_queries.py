@@ -668,3 +668,98 @@ GROUP BY 1
 ANALYSIS_QUERIES.update(
     {"streaming_enrichment": (q_streaming_enrichment, SQL_STREAMING_ENRICHMENT)}
 )
+
+
+# -------------------------------------- streaming: stream-stream join
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the last Structured Streaming join
+    shape (two unbounded sides, event-time range condition): purchases
+    attributed to a click by the same user within the preceding 30
+    minutes. Both sides carry watermarks, the range condition bounds
+    each side's join state to the watermark horizon + interval (Spark's
+    state-cleanup contract for interval joins), and the inner join
+    emits matches eagerly — no holdback, so draining static input with
+    availableNow reproduces the batch join exactly. The horizon here
+    spans the whole fixture (35 days) so the parity check is
+    batching-order-independent; a production deployment sets it to the
+    real out-of-orderness bound (minutes), which is what makes the
+    state O(rate × horizon) instead of O(stream).
+
+    The sink aggregation (per-user attribution counts) is the stable
+    comparison surface; the batch SQL twin proves result parity."""
+    import tempfile
+
+    from sgb_data_validator_spark.streaming.incremental import run_available_now
+
+    tmp = tempfile.mkdtemp(prefix="sgb_stream_ivj_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    ev.where(F.col("event_type") == "click").write.mode("overwrite").parquet(f"{tmp}/clicks")
+    ev.where(F.col("event_type") == "purchase").write.mode("overwrite").parquet(
+        f"{tmp}/purchases"
+    )
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(f"{tmp}/clicks")
+        .withWatermark("ts", "35 days")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(f"{tmp}/purchases")
+        .withWatermark("ts", "35 days")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "purchase_value")
+    query = run_available_now(joined, out_path=f"{tmp}/out", checkpoint=f"{tmp}/ckpt")
+    query.awaitTermination()
+    back = spark.read.schema(
+        "user_id bigint, click_id bigint, purchase_id bigint, purchase_value double"
+    ).parquet(f"{tmp}/out")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.sum(F.col("purchase_value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT c.user_id,
+       cast(count(*) AS bigint) AS n_attributed,
+       cast(count(DISTINCT p.event_id) AS bigint) AS n_purchases,
+       cast(sum(cast(p.value AS decimal(18,6))) AS double) AS sum_value
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+ANALYSIS_QUERIES.update(
+    {
+        "streaming_interval_join": (
+            q_streaming_interval_join,
+            SQL_STREAMING_INTERVAL_JOIN,
+        )
+    }
+)

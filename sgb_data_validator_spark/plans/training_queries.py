@@ -1395,6 +1395,91 @@ LEFT JOIN nr ON nr.doc_id = n.doc_id
 """
 
 
+# ---- bloom-filter decontamination ---------------------------------------
+
+BLOOM_K = 3
+BLOOM_M = 4096
+_BLOOM_EVAL_MOD = 11   # doc_id % 11 == 5 → the held-out eval set
+_BLOOM_EVAL_REM = 5
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom filter: build an m-bit
+    filter over the EVAL set's canonical fingerprints, probe every
+    train doc with O(1) bit tests, then confirm the (small) candidate
+    set with an exact fingerprint join — emitting each bloom-hit train
+    doc with its confirmed flag and matched eval doc.
+
+    Why this exists next to `contamination`: the exact-join form
+    shuffles the train side's fingerprints; the Bloom form broadcasts
+    a CONSTANT m/32-word array no matter how large the eval set grows,
+    and the train fact never shuffles — only confirmed-candidate rows
+    (bloom FP rate ≈ set-fraction^k) reach the exact join. That is the
+    standard 10^12-row decontamination shape. See
+    operators/sketch.py:bloom_build / bloom_probe."""
+    from sgb_data_validator_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    with_fp = docs.select(
+        "doc_id", D.canonical_fingerprint(F.col("text")).alias("fp")
+    )
+    is_eval = F.col("doc_id") % _BLOOM_EVAL_MOD == _BLOOM_EVAL_REM
+    test = with_fp.where(is_eval)
+    train = with_fp.where(~is_eval)
+    bloom = bloom_build(test, "fp", k=BLOOM_K, m=BLOOM_M)
+    candidates = bloom_probe(train, "fp", bloom, k=BLOOM_K, m=BLOOM_M).where(
+        F.col("bloom_hit")
+    )
+    test_min = test.groupBy("fp").agg(F.min("doc_id").alias("matched_test_id"))
+    return (
+        candidates.join(test_min, "fp", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("matched_test_id").isNotNull().alias("confirmed"),
+            F.col("matched_test_id").cast("bigint").alias("matched_test_id"),
+        )
+    )
+
+
+SQL_BLOOM_CONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, md5(array_to_string(list_sort({SQL_WORDSET}), ' ')) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+test AS (SELECT doc_id, fp FROM d WHERE doc_id % {_BLOOM_EVAL_MOD} = {_BLOOM_EVAL_REM}),
+train AS (SELECT doc_id, fp FROM d WHERE doc_id % {_BLOOM_EVAL_MOD} <> {_BLOOM_EVAL_REM}),
+bk AS (
+  SELECT (('0x' || substr(md5(r.r::VARCHAR || chr(31) || fp), 1, 15))::BIGINT
+            % {BLOOM_M}) AS bucket
+  FROM test, range({BLOOM_K}) r(r)
+),
+bw AS (
+  SELECT bucket // 32 AS w, bit_or(1::BIGINT << cast(bucket % 32 AS int)) AS bits
+  FROM bk GROUP BY 1
+),
+bloom AS (
+  SELECT list(coalesce(bw.bits, 0) ORDER BY r.i) AS words
+  FROM range({BLOOM_M // 32}) r(i) LEFT JOIN bw ON bw.w = r.i
+),
+pb AS (
+  SELECT t.doc_id, t.fp,
+         (('0x' || substr(md5(r.r::VARCHAR || chr(31) || t.fp), 1, 15))::BIGINT
+            % {BLOOM_M}) AS bucket
+  FROM train t, range({BLOOM_K}) r(r)
+),
+hits AS (
+  SELECT doc_id, fp FROM pb, bloom
+  GROUP BY doc_id, fp
+  HAVING bool_and(((words[(bucket // 32) + 1] >> cast(bucket % 32 AS int)) & 1) = 1)
+),
+tmin AS (SELECT fp, min(doc_id) AS matched_test_id FROM test GROUP BY fp)
+SELECT cast(h.doc_id AS bigint) AS doc_id,
+       tm.matched_test_id IS NOT NULL AS confirmed,
+       cast(tm.matched_test_id AS bigint) AS matched_test_id
+FROM hits h LEFT JOIN tmin tm USING (fp)
+"""
+
+
 # ---- domain mix report -------------------------------------------------
 
 DOMAIN_BLOCKLIST = ("sample.net",)
@@ -1493,4 +1578,5 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "bloom_contamination": (q_bloom_contamination, SQL_BLOOM_CONTAMINATION),
 }

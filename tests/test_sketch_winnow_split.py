@@ -201,3 +201,70 @@ def test_split_assign_proportions(spark):
     )
     assert counts["train"] / 2000 == pytest.approx(0.98, abs=0.02)
     assert counts.get("val", 0) + counts.get("test", 0) == 2000 - counts["train"]
+
+
+# ------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from sgb_data_validator_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(f"key{i}",) for i in range(60)], ["fp"])
+    bloom = bloom_build(members, "fp", k=3, m=512)
+    words = bloom.collect()[0]["words"]
+    assert len(words) == 512 // 32
+    assert all(0 <= w < (1 << 32) for w in words)  # 32-bit words, no sign games
+    probe = spark.createDataFrame([(f"key{i}",) for i in range(200)], ["fp"])
+    out = {r["fp"]: r["bloom_hit"] for r in bloom_probe(probe, "fp", bloom, k=3, m=512).collect()}
+    # Bloom contract: every member hits
+    assert all(out[f"key{i}"] for i in range(60))
+    # false positives exist but are a small fraction at this load factor
+    fp = sum(out[f"key{i}"] for i in range(60, 200))
+    assert fp < 40
+
+
+def test_bloom_build_validates_geometry(spark):
+    from sgb_data_validator_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame([("a",)], ["fp"])
+    with pytest.raises(ValueError):
+        bloom_build(df, "fp", k=3, m=100)  # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build(df, "fp", k=0, m=512)
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+    from sgb_data_validator_spark.plans.analysis_queries import (
+        q_streaming_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_attributed"], r["n_purchases"], round(r["sum_value"], 6))
+        for r in q_streaming_interval_join(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"), "value",
+    )
+    want_rows = (
+        c.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pid").alias("np"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["np"], round(r["sv"], 6)) for r in want_rows}
+    assert got == want  # stream-stream drain reproduces the batch join exactly
