@@ -322,21 +322,32 @@ def kmeans_train(
     empty out drop (standard Lloyd), so k may shrink.
 
     Returns (cid, cv, cn, n_members) like kmeans_step."""
-    cur = centroids.select("cid", "cv", "cn").localCheckpoint()
-    for _ in range(max_iter):
-        nxt = kmeans_step(df, cur, id_col, vec_col, mean_precision).localCheckpoint()
-        old = cur.select("cid", F.col("cv").alias("_ov"), F.col("cn").alias("_on"))
-        movement = (
-            nxt.join(old, "cid")
-            .select(
-                (1.0 - cosine_with_norms(F.col("cv"), F.col("_ov"), F.col("cn"), F.col("_on"))).alias("mv")
+    # cache the working set ONCE: every Lloyd round re-reads the fact
+    # for its assignment pass, and at 10^12 rows that is max_iter full
+    # scans+decodes of the same (id, vec) projection — the canonical
+    # iterate-over-cached-data pattern. Narrow projection first so the
+    # cache holds only what the loop touches.
+    fact = df.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        cur = centroids.select("cid", "cv", "cn").localCheckpoint()
+        for _ in range(max_iter):
+            nxt = kmeans_step(fact, cur, id_col, vec_col, mean_precision).localCheckpoint()
+            old = cur.select("cid", F.col("cv").alias("_ov"), F.col("cn").alias("_on"))
+            movement = (
+                nxt.join(old, "cid")
+                .select(
+                    (1.0 - cosine_with_norms(F.col("cv"), F.col("_ov"), F.col("cn"), F.col("_on"))).alias("mv")
+                )
+                .agg(F.max("mv"))
+                .collect()[0][0]
             )
-            .agg(F.max("mv"))
-            .collect()[0][0]
-        )
-        cur = nxt
-        if movement is not None and movement < tol:
-            return cur
+            cur = nxt
+            if movement is not None and movement < tol:
+                return cur
+    finally:
+        # safe: the returned frame is localCheckpointed, independent of
+        # the cached lineage
+        fact.unpersist()
     raise RuntimeError(
         f"kmeans_train did not converge in {max_iter} iterations "
         f"(last max centroid movement {movement}); raise max_iter or tol"
