@@ -763,3 +763,59 @@ ANALYSIS_QUERIES.update(
         )
     }
 )
+
+
+# -------------------------------------- z-order layout keys
+
+ZORDER_BITS = 8  # 8+8-bit interleave → 16-bit z-value, 256×256 tiles
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout keys over the events fact: user bucket ×
+    epoch-day interleaved bit-by-bit (operators/zorder.py:z_value) —
+    the multi-dimensional clustering key behind OPTIMIZE ZORDER-style
+    layout rewrites, so min/max zone pruning bites on BOTH the user and
+    the time predicate at once. Pure integer shift/mask/or codegen on
+    an unshuffled scan; tests/test_zorder.py measures the actual
+    file-pruning win of writing the table in this order (z-layout
+    touches a fraction of the files a one-key sort layout touches for
+    the same 2-D box predicate)."""
+    from sgb_data_validator_spark.operators.zorder import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    xb = F.col("user_id") % (1 << ZORDER_BITS)
+    yb = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % (
+        1 << ZORDER_BITS
+    )
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        xb.cast("bigint").alias("x_bucket"),
+        yb.cast("bigint").alias("y_bucket"),
+        z_value(xb, yb, ZORDER_BITS).alias("zval"),
+    )
+
+
+def _sql_interleave(xb: str, yb: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xb} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({yb} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+SQL_ZORDER_KEY = f"""
+WITH b AS (
+  SELECT event_id,
+         user_id % {1 << ZORDER_BITS} AS xb,
+         date_diff('day', DATE '2024-01-01', ts) % {1 << ZORDER_BITS} AS yb
+  FROM events
+)
+SELECT cast(event_id AS bigint) AS event_id,
+       cast(xb AS bigint) AS x_bucket,
+       cast(yb AS bigint) AS y_bucket,
+       cast({_sql_interleave("xb", "yb", ZORDER_BITS)} AS bigint) AS zval
+FROM b
+"""
+
+
+ANALYSIS_QUERIES.update({"zorder_key": (q_zorder_key, SQL_ZORDER_KEY)})
