@@ -559,14 +559,21 @@ QUERIES.update(ANALYSIS_QUERIES)
 # run over ALL queries) and pytest. Evidence + rotation ledger:
 # BASELINE.md "Driver correctness cap".
 _DRIVER_FRONT = [
-    # never driver-checked through r3 (r2/r3 additions)
+    # never driver-checked through r3 (r2/r3 additions; iso639_lang,
+    # iconclass_hierarchy, private_flags, row_rules_extra, histogram and
+    # json_cols turn out to HAVE green r2 driver rows — rotated back out
+    # to free slots for the six late-round-4 queries below, completing
+    # the union: after this round every one of the 101 registered
+    # queries has had a driver row in some round)
     "asof_attribution", "error_context", "pack_sequences",
     "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
     "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",
-    "stats_hll", "iconclass_parts", "iso639_lang", "iconclass_hierarchy",
-    "private_flags", "row_rules_extra", "histogram", "json_cols",
+    "stats_hll", "iconclass_parts",
     "quantiles", "drift_psi", "backup_restore", "sessionize",
     "top_values", "stratified_sample",
+    # late round-4 additions (post the first r4 rotation commit)
+    "bloom_contamination", "dedup_prefix", "domain_mix",
+    "incremental_dedup", "streaming_interval_join", "zorder_key",
     # new this round
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
