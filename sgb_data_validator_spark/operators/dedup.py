@@ -590,6 +590,68 @@ def verify_jaccard_pairs(
     )
 
 
+def verify_containment_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.9,
+    broadcast_max_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT on candidate pairs:
+    ``containment = |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)`` — the
+    asymmetric engulfed-document measure (a short doc quoted or
+    embedded verbatim inside a much longer one scores ~1.0 here while
+    its Jaccard collapses toward |small|/|big|). Motivated by the
+    exact-substring pass of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022): substring duplication is
+    invisible to symmetric set similarity.
+
+    Same count-gated broadcast discipline as ``verify_jaccard_pairs``
+    (see that docstring for the gate rationale). Scale/recall note: the
+    candidate set bounds cost AND recall — minhash bands estimate
+    JACCARD, so a pair with high containment but tiny Jaccard is
+    proposed only if a band collides anyway; at 10^12 rows the complete
+    recall path is chunk fingerprints (``chunk_contamination``) feeding
+    this verifier, not banding alone."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram"),
+    ).distinct().persist()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    p = pairs.select("id_a", "id_b").persist()
+    if p.count() <= broadcast_max_pairs:
+        p = F.broadcast(p)
+    else:
+        p = p.hint("shuffle_hash")
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        p.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            "containment",
+        )
+    )
+
+
 # ---------------------------------------------------------------- embedding
 
 def _plane_weight(j: int, i: int) -> int:

@@ -203,3 +203,52 @@ def sequence_violations(
         F.lit(severity).alias("severity"),
         "part",
     )
+
+
+def role_structure_violations(
+    turns: DataFrame,
+    opening_roles: tuple[str, ...] = ("system",),
+    tool_roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Conversation-structure consistency rules over the transcript
+    shape (conv_id, turn_idx, role, tool, part):
+
+    * ``conv.opening_role`` — a conversation's FIRST turn (minimum
+      turn_idx, not literally 0: a missing turn 0 is contiguity's job)
+      must carry one of ``opening_roles``. Computed with a map-side
+      combined min-of-struct argmin per conv_id — one narrow shuffle of
+      (conv_id, small-struct) rows, the hot Zipf conversation costs one
+      combiner cell per task, never a window sort.
+    * ``tool.role_consistency`` — a non-null ``tool`` value is only
+      legal on ``tool_roles`` rows (the reference analog is data-driven
+      field presence, /root/reference/src/models.py required-field
+      pairs); pure single-pass row predicate, whole-stage codegen.
+
+    Both emit the engine's standard violation shape.
+    """
+    opening = (
+        turns.groupBy("conv_id")
+        .agg(F.min(F.struct("turn_idx", "role", "part")).alias("_first"))
+        .where(~F.col("_first.role").isin(*opening_roles))
+        .select(
+            F.lit("conv.opening_role").alias("rule_id"),
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("_first.turn_idx").cast("int").alias("turn_idx"),
+            F.lit("role").alias("column"),
+            F.substring(F.col("_first.role"), 1, 80).alias("offending_value"),
+            F.lit(SEV_WARNING).alias("severity"),
+            F.col("_first.part").cast("string").alias("part"),
+        )
+    )
+    stray_tool = turns.where(
+        F.col("tool").isNotNull() & ~F.col("role").isin(*tool_roles)
+    ).select(
+        F.lit("tool.role_consistency").alias("rule_id"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("column"),
+        F.substring(F.col("tool"), 1, 80).alias("offending_value"),
+        F.lit(SEV_WARNING).alias("severity"),
+        F.col("part").cast("string").alias("part"),
+    )
+    return opening.unionByName(stray_tool)

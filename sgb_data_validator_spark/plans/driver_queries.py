@@ -511,6 +511,57 @@ FROM events GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ role structure
+
+def q_role_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure rules over the events→transcript projection:
+    first turn must be a 'view'/'click' (conversations opened by a
+    purchase/signup are flagged), and a non-null tool is only legal on
+    'click' rows (every 97th user carries an injected stray 'shell'
+    tool on its non-click turns). Argmin-per-conv + single-pass row
+    predicate — see operators/windows.py:role_structure_violations."""
+    from sgb_data_validator_spark.operators.windows import role_structure_violations
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(F.col("event_type") == "click", F.lit("browser"))
+        .when(F.col("user_id") % 97 == 0, F.lit("shell"))
+        .alias("tool"),
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+    )
+    return role_structure_violations(
+        turns, opening_roles=("view", "click"), tool_roles=("click",)
+    )
+
+
+SQL_ROLE_STRUCTURE = """
+WITH turns AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN user_id % 97 = 0 THEN 'shell' END AS tool,
+         strftime(ts, '%Y-%m-%d') AS part
+  FROM events
+),
+first_turn AS (SELECT conv_id, min(turn_idx) AS turn_idx FROM turns GROUP BY 1)
+SELECT 'conv.opening_role' AS rule_id, t.conv_id,
+       cast(t.turn_idx AS int) AS turn_idx, 'role' AS "column",
+       substr(t.role, 1, 80) AS offending_value, 'warning' AS severity, t.part
+FROM turns t JOIN first_turn f
+  ON t.conv_id = f.conv_id AND t.turn_idx = f.turn_idx
+WHERE t.role NOT IN ('view', 'click')
+UNION ALL
+SELECT 'tool.role_consistency', conv_id, cast(turn_idx AS int), 'tool',
+       substr(tool, 1, 80), 'warning', part
+FROM turns WHERE tool IS NOT NULL AND role NOT IN ('click')
+"""
+
+
 from sgb_data_validator_spark.plans.training_queries import TRAINING_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.transform_queries import TRANSFORM_QUERIES  # noqa: E402
 
@@ -528,6 +579,7 @@ QUERIES: dict[str, tuple] = {
     "summary": (q_summary, SQL_SUMMARY),
     "pivot": (q_pivot, SQL_PIVOT),
     "verdicts": (q_verdicts, SQL_VERDICTS),
+    "role_structure": (q_role_structure, SQL_ROLE_STRUCTURE),
     **TRAINING_QUERIES,
     **TRANSFORM_QUERIES,
 }
@@ -569,11 +621,14 @@ _DRIVER_FRONT = [
     "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
     "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",
     "stats_hll", "iconclass_parts",
-    "quantiles", "drift_psi", "backup_restore", "sessionize",
+    "backup_restore", "sessionize",
     "top_values", "stratified_sample",
-    # late round-4 additions (post the first r4 rotation commit)
+    # late round-4 additions (post the first r4 rotation commit);
+    # role_structure and dedup_containment took the slots of the
+    # r2-driver-green sentinels quantiles/drift_psi
     "bloom_contamination", "dedup_prefix", "domain_mix",
     "incremental_dedup", "streaming_interval_join", "zorder_key",
+    "role_structure", "dedup_containment",
     # new this round
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",

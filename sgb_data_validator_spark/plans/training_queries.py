@@ -288,6 +288,49 @@ WHERE round(i.inter / cast(sa.n_grams + sb.n_grams - i.inter AS double), 6) >= 0
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-proposes / CONTAINMENT-confirms: exact word-bigram containment
+    |S(a)∩S(b)| / min(|S(a)|,|S(b)|) ≥ 0.9 on the minhash candidates —
+    flags the engulfed-document direction symmetric Jaccard misses (a
+    doc fully embedded in a longer doc). Candidates and the confirm
+    join reuse the proven dedup_ngram plan shapes; the twin replays the
+    identical portable-md5 band pipeline, so parity covers proposal AND
+    confirmation."""
+    docs = _docs_with_twins(spark, sf_dir)
+    cand = D.minhash_candidate_pairs(
+        docs, "doc_id", "text", k=K_MINHASH, band_rows=BAND_ROWS, shingle_n=2
+    )
+    return D.verify_containment_pairs(
+        cand, docs, "doc_id", "text", shingle_n=2, threshold=0.9
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "inter",
+        "containment",
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_sql_minhash_cte()},
+gsz AS (SELECT doc_id, count(*) AS n_grams FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY 1),
+gd AS (SELECT DISTINCT doc_id, g FROM grams),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN gd a ON a.doc_id = c.id_a
+  JOIN gd b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT cast(i.id_a AS bigint) AS id_a, cast(i.id_b AS bigint) AS id_b,
+       cast(i.inter AS bigint) AS inter,
+       round(i.inter / cast(least(sa.n_grams, sb.n_grams) AS double), 6) AS containment
+FROM inter i
+JOIN gsz sa ON sa.doc_id = i.id_a
+JOIN gsz sb ON sb.doc_id = i.id_b
+WHERE round(i.inter / cast(least(sa.n_grams, sb.n_grams) AS double), 6) >= 0.9
+"""
+
+
 # ---- dedup: embedding cosine ---------------------------------------------
 
 def _vectors_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,6 +1599,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "knn_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),

@@ -1,0 +1,88 @@
+"""role_structure_violations + verify_containment_pairs.
+
+The containment test pins the differentiator: a short doc embedded
+verbatim in a much longer one has containment 1.0 but Jaccard far
+below any dedup threshold — verify_jaccard_pairs must NOT return the
+pair while verify_containment_pairs must.
+"""
+
+import pyspark.sql.functions as F
+
+from sgb_data_validator_spark.operators.dedup import (
+    verify_containment_pairs,
+    verify_jaccard_pairs,
+)
+from sgb_data_validator_spark.operators.windows import role_structure_violations
+
+TURN_SCHEMA = "conv_id string, turn_idx int, role string, tool string, part string"
+
+
+def test_opening_role_uses_min_turn_not_zero(spark):
+    rows = [
+        # conv a: opens at idx 2 (gap is contiguity's job) with a bad role
+        ("a", 2, "assistant", None, "d1"),
+        ("a", 3, "user", None, "d1"),
+        # conv b: clean opening, no tools anywhere
+        ("b", 0, "system", None, "d1"),
+        ("b", 1, "user", None, "d1"),
+    ]
+    out = role_structure_violations(spark.createDataFrame(rows, TURN_SCHEMA)).collect()
+    assert len(out) == 1
+    v = out[0]
+    assert (v.rule_id, v.conv_id, v.turn_idx, v.offending_value) == (
+        "conv.opening_role",
+        "a",
+        2,
+        "assistant",
+    )
+
+
+def test_stray_tool_flagged_per_row(spark):
+    rows = [
+        ("c", 0, "system", None, "d1"),
+        ("c", 1, "user", "shell", "d1"),       # stray: user with a tool
+        ("c", 2, "tool", "search", "d1"),      # legal
+        ("c", 3, "assistant", "shell", "d2"),  # stray again
+    ]
+    out = role_structure_violations(spark.createDataFrame(rows, TURN_SCHEMA))
+    got = {(v.turn_idx, v.part) for v in out.where(F.col("rule_id") == "tool.role_consistency").collect()}
+    assert got == {(1, "d1"), (3, "d2")}
+    assert out.where(F.col("rule_id") == "conv.opening_role").count() == 0
+
+
+def test_clean_transcript_has_no_structure_violations(spark):
+    rows = [("d", 0, "system", None, "d1"), ("d", 1, "user", None, "d1"),
+            ("d", 2, "tool", "search", "d1")]
+    assert role_structure_violations(spark.createDataFrame(rows, TURN_SCHEMA)).count() == 0
+
+
+def test_containment_catches_engulfed_doc_jaccard_misses(spark):
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id bigint, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    cont = verify_containment_pairs(
+        cand, docs, "doc_id", "text", shingle_n=2, threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    # every bigram of the short doc appears in the long doc
+    assert cont[0].containment == 1.0
+    assert cont[0].inter == 3  # 4 words -> 3 bigrams
+    jac = verify_jaccard_pairs(
+        cand, docs, "doc_id", "text", shingle_n=2, threshold=0.8
+    ).collect()
+    assert jac == []  # symmetric Jaccard is blind to the engulfed doc
+
+
+def test_containment_threshold_excludes_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "a b c d x y z q r s t")],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    out = verify_containment_pairs(
+        cand, docs, "doc_id", "text", shingle_n=2, threshold=0.9
+    ).collect()
+    assert out == []  # only 3 of 10 bigrams shared
