@@ -18,7 +18,7 @@ never falls back to a sort-merge shuffle of the 10^12-row fact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sgb_data_validator_spark.operators.rules import SEV_ERROR, SEV_WARNING
@@ -159,4 +159,53 @@ def fd_violations(
             F.max(dep).alias("hi_value"),
         )
         .where(F.col("n_distinct") > 1)
+    )
+
+
+def manifest_reconcile(
+    fact: DataFrame,
+    manifest: DataFrame,
+    fact_key: str,
+    manifest_key: str,
+    stated_col: str,
+    agg: Column,
+    rel_tol: float = 0.0,
+) -> DataFrame:
+    """Per-key aggregate of the fact table reconciled against the value
+    the manifest CLAIMS for that key — the transcript-native case is
+    ``count(*)`` per conv_id vs the conversation manifest's
+    ``n_turns_expected`` (a manifest that says 40 turns while 42 landed
+    means duplicated or foreign rows; 38 means loss). Reference analog:
+    the zero-children warning generalized from "count == 0" to
+    "count/sum != stated" (/root/reference/validate.py:776-791).
+
+    Emits one row per manifest key whose relative gap
+    ``|stated − computed| / max(computed, 0.01)`` exceeds ``rel_tol``
+    (0.0 ⇒ exact match required); manifest keys with NO fact rows
+    reconcile against computed = 0, so vanished conversations surface
+    too.
+
+    Scale shape: the fact collapses to one (key, computed) row via a
+    map-side-combined aggregation BEFORE any join — the join touches
+    |manifest| × small rows, never the 10^12-row fact; no broadcast is
+    forced because both sides are manifest-sized (AQE picks the
+    strategy)."""
+    computed = fact.groupBy(F.col(fact_key).alias(manifest_key)).agg(
+        agg.cast("double").alias("computed")
+    )
+    stated = manifest.select(
+        F.col(manifest_key), F.col(stated_col).cast("double").alias("stated")
+    )
+    j = stated.join(computed, manifest_key, "left").withColumn(
+        "computed", F.coalesce(F.col("computed"), F.lit(0.0))
+    )
+    gap = F.round(
+        F.abs(F.col("stated") - F.col("computed"))
+        / F.greatest(F.col("computed"), F.lit(0.01)),
+        4,
+    )
+    return (
+        j.withColumn("rel_gap", gap)
+        .where(F.col("rel_gap") > rel_tol)
+        .select(manifest_key, "stated", "computed", "rel_gap")
     )

@@ -562,6 +562,61 @@ FROM turns WHERE tool IS NOT NULL AND role NOT IN ('click')
 """
 
 
+# ------------------------------------------------------- manifest reconcile
+
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate reconciliation: per-order computed lineitem charge
+    Σ extendedprice·(1−discount)·(1+tax) vs the stated o_totalprice,
+    flagging relative gaps > 50% (this synthetic data's totals are
+    noise, so the tolerance is chosen to split the population — the
+    transcript-native exact form, count(*) vs n_turns_expected at
+    rel_tol=0, is pytest-pinned on the fixture manifest). Money is
+    floored to integer CENTS per row and summed as bigint — the per-row
+    double product is bit-identical across engines and floor has no
+    rounding knife-edge, so the sum is exact and order-free (a
+    DECIMAL(18,2) cast hash-mismatched on half-cent boundaries: Spark
+    HALF_UP vs DuckDB's tie rule)."""
+    from sgb_data_validator_spark.operators.referential import manifest_reconcile
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(100.0)
+    ).cast("bigint")
+    charge = F.sum(cents) / F.lit(100.0)
+    return manifest_reconcile(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        manifest_key="o_orderkey",
+        stated_col="o_totalprice",
+        agg=charge,
+        rel_tol=0.5,
+    )
+
+
+SQL_RECONCILE_TOTALS = """
+WITH c AS (
+  SELECT l_orderkey,
+         sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100.0) AS bigint)) / 100.0 AS computed
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey, o.o_totalprice AS stated,
+         coalesce(c.computed, 0.0) AS computed
+  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey
+)
+SELECT o_orderkey, stated, computed,
+       round(abs(stated - computed) / greatest(computed, 0.01), 4) AS rel_gap
+FROM j
+WHERE round(abs(stated - computed) / greatest(computed, 0.01), 4) > 0.5
+"""
+
+
 from sgb_data_validator_spark.plans.training_queries import TRAINING_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.transform_queries import TRANSFORM_QUERIES  # noqa: E402
 
@@ -580,6 +635,7 @@ QUERIES: dict[str, tuple] = {
     "pivot": (q_pivot, SQL_PIVOT),
     "verdicts": (q_verdicts, SQL_VERDICTS),
     "role_structure": (q_role_structure, SQL_ROLE_STRUCTURE),
+    "reconcile_totals": (q_reconcile_totals, SQL_RECONCILE_TOTALS),
     **TRAINING_QUERIES,
     **TRANSFORM_QUERIES,
 }
@@ -621,14 +677,14 @@ _DRIVER_FRONT = [
     "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
     "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",
     "stats_hll", "iconclass_parts",
-    "backup_restore", "sessionize",
+    "sessionize",
     "top_values", "stratified_sample",
     # late round-4 additions (post the first r4 rotation commit);
-    # role_structure and dedup_containment took the slots of the
-    # r2-driver-green sentinels quantiles/drift_psi
+    # role_structure/dedup_containment/reconcile_totals took the slots
+    # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore
     "bloom_contamination", "dedup_prefix", "domain_mix",
     "incremental_dedup", "streaming_interval_join", "zorder_key",
-    "role_structure", "dedup_containment",
+    "role_structure", "dedup_containment", "reconcile_totals",
     # new this round
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",

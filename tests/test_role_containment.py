@@ -86,3 +86,57 @@ def test_containment_threshold_excludes_partial_overlap(spark):
         cand, docs, "doc_id", "text", shingle_n=2, threshold=0.9
     ).collect()
     assert out == []  # only 3 of 10 bigrams shared
+
+
+# ---- manifest_reconcile ----------------------------------------------------
+
+def _reconcile(turns, convs):
+    from sgb_data_validator_spark.operators.referential import manifest_reconcile
+
+    return manifest_reconcile(
+        turns,
+        convs,
+        fact_key="conv_id",
+        manifest_key="conv_id",
+        stated_col="n_turns_expected",
+        agg=F.count(F.lit(1)),
+        rel_tol=0.0,
+    )
+
+
+def test_reconcile_clean_fixture_is_silent(spark):
+    from sgb_data_validator_spark.sources.generator import (
+        FixtureConfig,
+        generate_conversations,
+        generate_turns,
+    )
+
+    cfg = FixtureConfig(n_turns=3000, dirt=False, n_empty_convs=2)
+    turns = generate_turns(spark, cfg)
+    convs = generate_conversations(spark, cfg)
+    # empty manifest convs reconcile against computed=0 (expected is 0)
+    assert _reconcile(turns, convs).count() == 0
+
+
+def test_reconcile_flags_dup_inflation_and_vanished_conv(spark):
+    from sgb_data_validator_spark.sources.generator import (
+        FixtureConfig,
+        generate_conversations,
+        generate_turns,
+    )
+
+    cfg = FixtureConfig(n_turns=3000, dirt=True, n_empty_convs=0)
+    turns = generate_turns(spark, cfg)
+    convs = generate_conversations(spark, cfg)
+    flagged = _reconcile(turns, convs)
+    rows = flagged.collect()
+    assert rows, "dirty fixture injects duplicate turns — reconcile must fire"
+    # dup dirt inflates counts; orphan dirt rewrites conv_id, deflating
+    # the home conversation — both directions must surface
+    assert any(r.computed > r.stated for r in rows)
+    assert any(r.computed < r.stated for r in rows)
+    # a conversation whose rows vanish entirely must surface with computed=0
+    victim = turns.select("conv_id").first().conv_id
+    gone = _reconcile(turns.where(F.col("conv_id") != victim), convs)
+    v = gone.where(F.col("conv_id") == victim).collect()
+    assert len(v) == 1 and v[0].computed == 0.0 and v[0].stated > 0
