@@ -224,7 +224,12 @@ def role_structure_violations(
       field presence, /root/reference/src/models.py required-field
       pairs); pure single-pass row predicate, whole-stage codegen.
 
-    Both emit the engine's standard violation shape.
+    Both emit the engine's standard violation shape. Scale note: the
+    union's two branches each scan the fact (the agg branch reads a
+    pruned (conv_id, turn_idx, role, part) projection). At 10^12 rows,
+    fold the row-level tool rule into the engine's fused single-pass
+    RowRuleSet projection instead and keep only the argmin branch here
+    — this bundling is API convenience for the standalone check.
     """
     opening = (
         turns.groupBy("conv_id")
