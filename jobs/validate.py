@@ -59,6 +59,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "Iceberg path once the catalog jar is configured)",
     )
     p.add_argument(
+        "--reconcile-manifest",
+        action="store_true",
+        help="also reconcile per-conversation turn counts against the "
+        "manifest's n_turns_expected column (requires --conversations; "
+        "emits conv.turn_count warnings on each conversation's home "
+        "partition)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -172,7 +180,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         else None,
     )
     t0 = time.perf_counter()
-    result = validate(t)
+    result = validate(t, reconcile_manifest=args.reconcile_manifest)
     sinks.write_all(result, args.out)
     elapsed = time.perf_counter() - t0
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from sgb_data_validator_spark.operators import drift as drift_ops
 from sgb_data_validator_spark.operators import rules as R
 from sgb_data_validator_spark.operators.referential import (
+    manifest_reconcile,
     orphan_violations,
     zero_children_violations,
 )
@@ -74,7 +75,11 @@ def transcript_row_rules() -> R.RowRuleSet:
     )
 
 
-def compute_violations(t: TranscriptTables, row_rules: R.RowRuleSet | None = None) -> DataFrame:
+def compute_violations(
+    t: TranscriptTables,
+    row_rules: R.RowRuleSet | None = None,
+    reconcile_manifest: bool = False,
+) -> DataFrame:
     v = (row_rules or transcript_row_rules()).violations(t.turns)
     v = v.unionByName(uniqueness_violations(t.turns))
     if t.conversations is not None:
@@ -84,6 +89,45 @@ def compute_violations(t: TranscriptTables, row_rules: R.RowRuleSet | None = Non
         v = v.unionByName(
             zero_children_violations(t.conversations, t.turns, "conv_id", "conv_id")
         )
+        if reconcile_manifest and "n_turns_expected" in t.conversations.columns:
+            # opt-in (default OFF keeps every recorded violation count —
+            # scaling-curve arms, transcript_pipeline oracle — stable):
+            # per-conv turn count vs the manifest's stated expectation.
+            # The violation attaches to the conversation's home
+            # partition (created_ts date) when available so verdicts
+            # react; it is conversation-level, not turn-level.
+            rec = manifest_reconcile(
+                t.turns,
+                t.conversations,
+                fact_key="conv_id",
+                manifest_key="conv_id",
+                stated_col="n_turns_expected",
+                agg=F.count(F.lit(1)),
+                rel_tol=0.0,
+            )
+            if "created_ts" in t.conversations.columns:
+                home = t.conversations.select(
+                    "conv_id", F.date_format("created_ts", "yyyy-MM-dd").alias("_home_part")
+                )
+                rec = rec.join(home, "conv_id", "left")
+            else:
+                rec = rec.withColumn("_home_part", F.lit(None).cast("string"))
+            v = v.unionByName(
+                rec.select(
+                    F.lit("conv.turn_count").alias("rule_id"),
+                    F.col("conv_id").cast("string").alias("conv_id"),
+                    F.lit(None).cast("int").alias("turn_idx"),
+                    F.lit("n_turns_expected").alias("column"),
+                    F.concat(
+                        F.lit("expected "),
+                        F.col("stated").cast("bigint").cast("string"),
+                        F.lit(", got "),
+                        F.col("computed").cast("bigint").cast("string"),
+                    ).alias("offending_value"),
+                    F.lit(R.SEV_WARNING).alias("severity"),
+                    F.col("_home_part").alias("part"),
+                )
+            )
     if t.allowed_tools is not None:
         v = v.unionByName(
             orphan_violations(t.turns, t.allowed_tools, "tool", "tool", "ref.tool")
@@ -149,8 +193,12 @@ def transcript_stats(turns: DataFrame) -> DataFrame:
     return column_stats(turns, specs)
 
 
-def validate(t: TranscriptTables, row_rules: R.RowRuleSet | None = None) -> ValidationResult:
-    violations = compute_violations(t, row_rules)
+def validate(
+    t: TranscriptTables,
+    row_rules: R.RowRuleSet | None = None,
+    reconcile_manifest: bool = False,
+) -> ValidationResult:
+    violations = compute_violations(t, row_rules, reconcile_manifest=reconcile_manifest)
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)
     return ValidationResult(violations=violations, verdicts=verdicts, stats=stats)

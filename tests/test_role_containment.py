@@ -140,3 +140,32 @@ def test_reconcile_flags_dup_inflation_and_vanished_conv(spark):
     gone = _reconcile(turns.where(F.col("conv_id") != victim), convs)
     v = gone.where(F.col("conv_id") == victim).collect()
     assert len(v) == 1 and v[0].computed == 0.0 and v[0].stated > 0
+
+
+def test_validate_reconcile_manifest_opt_in(spark):
+    from sgb_data_validator_spark.plans.pipeline import TranscriptTables, compute_violations
+    from sgb_data_validator_spark.sources.generator import (
+        FixtureConfig,
+        generate_allowed_tools,
+        generate_baseline_stats,
+        generate_conversations,
+        generate_turns,
+    )
+
+    cfg = FixtureConfig(n_turns=3000, dirt=True)
+    t = TranscriptTables(
+        turns=generate_turns(spark, cfg),
+        conversations=generate_conversations(spark, cfg),
+        allowed_tools=generate_allowed_tools(spark),
+        baseline_stats=generate_baseline_stats(spark, cfg),
+    )
+    base = compute_violations(t)
+    with_rec = compute_violations(t, reconcile_manifest=True)
+    assert base.where(F.col("rule_id") == "conv.turn_count").count() == 0
+    rec_rows = with_rec.where(F.col("rule_id") == "conv.turn_count")
+    n_rec = rec_rows.count()
+    assert n_rec > 0
+    # default path untouched: the opt-in adds exactly the reconcile rows
+    assert with_rec.count() == base.count() + n_rec
+    # conversation-level violations land on the conv's home partition
+    assert rec_rows.where(F.col("part").isNull()).count() == 0
