@@ -57,6 +57,8 @@ def main() -> int:
     from sgb_data_validator_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir) and os.path.isdir(f"/root/testdata/{sf_dir}"):
+        sf_dir = f"/root/testdata/{sf_dir}"  # allow bare "sf0.01"
     only = set(sys.argv[2:])
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
