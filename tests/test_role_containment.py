@@ -169,3 +169,52 @@ def test_validate_reconcile_manifest_opt_in(spark):
     assert with_rec.count() == base.count() + n_rec
     # conversation-level violations land on the conv's home partition
     assert rec_rows.where(F.col("part").isNull()).count() == 0
+
+
+def test_manifest_reconcile_property(spark):
+    """Hypothesis: for any (manifest stated counts, fact multiplicities),
+    the flagged set equals a pure-Python recompute — including keys with
+    zero fact rows and fact keys absent from the manifest (which must
+    NOT appear: the reconcile is manifest-driven; foreign fact keys are
+    the orphan rule's job)."""
+    from hypothesis import given, settings, strategies as st
+    from sgb_data_validator_spark.operators.referential import manifest_reconcile
+
+    case = st.lists(
+        st.tuples(
+            st.integers(0, 30),            # key
+            st.integers(0, 5),             # stated count in the manifest
+            st.integers(0, 5),             # actual fact multiplicity
+            st.booleans(),                 # key present in manifest?
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows=case)
+    def run(rows):
+        manifest = [(k, s) for k, s, _a, inm in rows if inm]
+        fact = [(k,) for k, _s, a, _inm in rows for _ in range(a)]
+        if not manifest and not fact:
+            return
+        mdf = spark.createDataFrame(manifest or [(None, None)], "key long, stated long").where(
+            F.col("key").isNotNull()
+        )
+        fdf = spark.createDataFrame(fact or [(None,)], "key long").where(F.col("key").isNotNull())
+        got = {
+            r.key: (r.stated, r.computed)
+            for r in manifest_reconcile(
+                fdf, mdf, "key", "key", "stated", F.count(F.lit(1)), 0.0
+            ).collect()
+        }
+        mult = {k: a for k, _s, a, _inm in rows}
+        want = {
+            k: (float(s), float(mult[k]))
+            for k, s in manifest
+            if s != mult[k]
+        }
+        assert got == want
+
+    run()
