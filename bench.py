@@ -117,16 +117,40 @@ def main() -> None:
         sf_val = sf
     # ...but it must not be able to IMPROVE the metric either: failures
     # null the headline value and fail the process (round-1 ADVICE)
+    full = {
+        "metric": "total wall seconds for all headline validation queries",
+        "value": None if errors else total,
+        "unit": "sec",
+        "queries": per_query,
+        "errors": errors,
+        "sf": sf_val,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(full))
+    # persist the full record (the driver's tail capture is ~2000 chars;
+    # 100+ per-query timings outgrow it — BENCH_r04.json parsed=null)
+    try:
+        rec = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench", "bench_last.json")
+        with open(rec, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    # compact LAST line: headline fields + the 5 slowest queries, always
+    # inside the driver's tail window
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
-                "metric": "total wall seconds for all headline validation queries",
-                "value": None if errors else total,
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": per_query,
+                "n_queries": len(per_query),
+                "total_s": total,
                 "errors": errors,
                 "sf": sf_val,
                 "cpus": int(cpus),
+                "slowest": slowest,
+                "full_record": "bench/bench_last.json",
             }
         )
     )

@@ -73,7 +73,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "processes only files not yet seen by the checkpoint (availableNow) "
         "and APPENDS exactly-once to the violations sink",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.reconcile_manifest and not args.conversations:
+        p.error("--reconcile-manifest requires --conversations")
+    return args
 
 
 def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
@@ -179,6 +182,16 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         if args.baseline_stats
         else None,
     )
+    if (
+        args.reconcile_manifest
+        and t.conversations is not None
+        and "n_turns_expected" not in t.conversations.columns
+    ):
+        print(
+            "warning: --reconcile-manifest set but the conversations manifest "
+            "has no n_turns_expected column — reconciliation skipped",
+            file=sys.stderr,
+        )
     t0 = time.perf_counter()
     result = validate(t, reconcile_manifest=args.reconcile_manifest)
     sinks.write_all(result, args.out)

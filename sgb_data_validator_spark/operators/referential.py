@@ -181,9 +181,14 @@ def manifest_reconcile(
 
     Emits one row per manifest key whose relative gap
     ``|stated − computed| / max(computed, 0.01)`` exceeds ``rel_tol``
-    (0.0 ⇒ exact match required); manifest keys with NO fact rows
-    reconcile against computed = 0, so vanished conversations surface
-    too.
+    (0.0 ⇒ exact match required: ANY nonzero gap flags, however tiny —
+    the filter runs on the UNROUNDED gap; rounding to 4 decimals happens
+    only in the output projection, so a 25 000-vs-25 001 mismatch on a
+    10M-turn conversation cannot round itself invisible). Manifest keys
+    with NO fact rows reconcile against computed = 0, so vanished
+    conversations surface too, and a manifest row whose stated value is
+    NULL is surfaced as unverifiable (rel_gap NULL) rather than silently
+    passing through a NULL comparison.
 
     Scale shape: the fact collapses to one (key, computed) row via a
     map-side-combined aggregation BEFORE any join — the join touches
@@ -199,13 +204,16 @@ def manifest_reconcile(
     j = stated.join(computed, manifest_key, "left").withColumn(
         "computed", F.coalesce(F.col("computed"), F.lit(0.0))
     )
-    gap = F.round(
-        F.abs(F.col("stated") - F.col("computed"))
-        / F.greatest(F.col("computed"), F.lit(0.01)),
-        4,
+    gap = F.abs(F.col("stated") - F.col("computed")) / F.greatest(
+        F.col("computed"), F.lit(0.01)
     )
     return (
-        j.withColumn("rel_gap", gap)
-        .where(F.col("rel_gap") > rel_tol)
-        .select(manifest_key, "stated", "computed", "rel_gap")
+        j.withColumn("__gap", gap)
+        .where(F.col("stated").isNull() | (F.col("__gap") > rel_tol))
+        .select(
+            manifest_key,
+            "stated",
+            "computed",
+            F.round(F.col("__gap"), 4).alias("rel_gap"),
+        )
     )

@@ -131,6 +131,29 @@ def no_url_in_text(column: str, severity: str = SEV_WARNING) -> RowRule:
     )
 
 
+def tool_role_consistency(
+    tool_col: str = "tool",
+    role_col: str = "role",
+    tool_roles: Sequence[str] = ("tool",),
+    severity: str = SEV_WARNING,
+) -> RowRule:
+    """Non-null ``tool`` is only legal on ``tool_roles`` rows — the
+    transcript-native data-driven field-presence pair (reference analog:
+    required-field pairs, /root/reference/src/models.py:49-197 /
+    validate.py:508-656). Pure single-pass row predicate; folding it
+    here (instead of a standalone scan) keeps the whole rule family at
+    ONE fact scan. NULL-role rows don't fire (``~NULL.isin(...)`` is
+    NULL → coalesced false by the rule slot), matching the standalone
+    ``where``-filter semantics it replaced."""
+    roles = list(tool_roles)
+    return RowRule(
+        rule_id="tool.role_consistency",
+        column=tool_col,
+        severity=severity,
+        predicate=lambda df: df[tool_col].isNotNull() & ~df[role_col].isin(roles),
+    )
+
+
 def not_contains(column: str, needle: str, severity: str = SEV_WARNING, rule_id: str | None = None) -> RowRule:
     """Case-insensitive substring flag (placeholder check, transformations.py:807-825)."""
     return RowRule(

@@ -205,32 +205,25 @@ def sequence_violations(
     )
 
 
-def role_structure_violations(
+def opening_role_violations(
     turns: DataFrame,
     opening_roles: tuple[str, ...] = ("system",),
-    tool_roles: tuple[str, ...] = ("tool",),
 ) -> DataFrame:
-    """Conversation-structure consistency rules over the transcript
-    shape (conv_id, turn_idx, role, tool, part):
+    """``conv.opening_role`` — a conversation's FIRST turn (minimum
+    turn_idx, not literally 0: a missing turn 0 is contiguity's job)
+    must carry one of ``opening_roles``. Computed with a map-side
+    combined min-of-struct argmin per conv_id — one narrow shuffle of
+    (conv_id, small-struct) rows, the hot Zipf conversation costs one
+    combiner cell per task, never a window sort; the fact is read
+    through a pruned (conv_id, turn_idx, role, part) projection.
 
-    * ``conv.opening_role`` — a conversation's FIRST turn (minimum
-      turn_idx, not literally 0: a missing turn 0 is contiguity's job)
-      must carry one of ``opening_roles``. Computed with a map-side
-      combined min-of-struct argmin per conv_id — one narrow shuffle of
-      (conv_id, small-struct) rows, the hot Zipf conversation costs one
-      combiner cell per task, never a window sort.
-    * ``tool.role_consistency`` — a non-null ``tool`` value is only
-      legal on ``tool_roles`` rows (the reference analog is data-driven
-      field presence, /root/reference/src/models.py required-field
-      pairs); pure single-pass row predicate, whole-stage codegen.
-
-    Both emit the engine's standard violation shape. Scale note: the
-    union's two branches each scan the fact (the agg branch reads a
-    pruned (conv_id, turn_idx, role, part) projection). At 10^12 rows,
-    fold the row-level tool rule into the engine's fused single-pass
-    RowRuleSet projection instead and keep only the argmin branch here
-    — this bundling is API convenience for the standalone check.
-    """
+    Precondition: ``turn_idx`` is unique per conversation at the
+    minimum (true for any row_number-derived or uniqueness-validated
+    table). On duplicate minimum turn_idx the min-of-struct argmin
+    emits ONE row tie-broken lexicographically by (role, part); a
+    min(turn_idx)+join-back formulation (e.g. SQL_ROLE_STRUCTURE's
+    oracle twin) emits every tied row — run the uniqueness rule first
+    if the input may carry duplicate keys."""
     opening = (
         turns.groupBy("conv_id")
         .agg(F.min(F.struct("turn_idx", "role", "part")).alias("_first"))
@@ -245,15 +238,31 @@ def role_structure_violations(
             F.col("_first.part").cast("string").alias("part"),
         )
     )
-    stray_tool = turns.where(
-        F.col("tool").isNotNull() & ~F.col("role").isin(*tool_roles)
-    ).select(
-        F.lit("tool.role_consistency").alias("rule_id"),
-        F.col("conv_id").cast("string").alias("conv_id"),
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.lit("tool").alias("column"),
-        F.substring(F.col("tool"), 1, 80).alias("offending_value"),
-        F.lit(SEV_WARNING).alias("severity"),
-        F.col("part").cast("string").alias("part"),
+    return opening
+
+
+def role_structure_violations(
+    turns: DataFrame,
+    opening_roles: tuple[str, ...] = ("system",),
+    tool_roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Standalone bundle of both conversation-structure rules:
+    ``conv.opening_role`` (see :func:`opening_role_violations`, incl.
+    its unique-turn_idx precondition) plus ``tool.role_consistency``
+    (a non-null ``tool`` only legal on ``tool_roles`` rows).
+
+    The tool rule IS a row rule and is expressed as one — it delegates
+    to the fused single-pass :class:`RowRuleSet` projection (the same
+    ``tool_role_consistency`` rule the engine pipeline folds into
+    ``transcript_row_rules()``), so this bundle costs the argmin's
+    pruned scan plus the row-rule scan it shares with every other row
+    rule when used through the pipeline."""
+    from sgb_data_validator_spark.operators.rules import (
+        RowRuleSet,
+        tool_role_consistency,
     )
-    return opening.unionByName(stray_tool)
+
+    stray_tool = RowRuleSet().add(
+        tool_role_consistency(tool_roles=tool_roles)
+    ).violations(turns)
+    return opening_role_violations(turns, opening_roles).unionByName(stray_tool)

@@ -613,7 +613,8 @@ j AS (
 SELECT o_orderkey, stated, computed,
        round(abs(stated - computed) / greatest(computed, 0.01), 4) AS rel_gap
 FROM j
-WHERE round(abs(stated - computed) / greatest(computed, 0.01), 4) > 0.5
+WHERE stated IS NULL
+   OR abs(stated - computed) / greatest(computed, 0.01) > 0.5
 """
 
 
@@ -671,8 +672,9 @@ _DRIVER_FRONT = [
     # iconclass_hierarchy, private_flags, row_rules_extra, histogram and
     # json_cols turn out to HAVE green r2 driver rows — rotated back out
     # to free slots for the six late-round-4 queries below, completing
-    # the union: after this round every one of the 101 registered
-    # queries has had a driver row in some round)
+    # the union: after round 4 every registered query — 104 at the r4
+    # registry size; see the assertion below for the live count — has
+    # had a driver row in some round)
     "asof_attribution", "error_context", "pack_sequences",
     "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
     "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",

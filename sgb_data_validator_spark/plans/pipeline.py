@@ -37,7 +37,10 @@ from sgb_data_validator_spark.operators.referential import (
 )
 from sgb_data_validator_spark.operators.stats import ColumnSpec, column_stats, stats_digest
 from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
-from sgb_data_validator_spark.operators.windows import sequence_violations
+from sgb_data_validator_spark.operators.windows import (
+    opening_role_violations,
+    sequence_violations,
+)
 from sgb_data_validator_spark.sources.generator import ROLES
 
 
@@ -72,6 +75,7 @@ def transcript_row_rules() -> R.RowRuleSet:
         R.non_empty("text"),                                  # models.py:22-28
         R.in_vocabulary("role", ROLES),                       # vocabularies.py:45-55
         R.no_url_in_text("text"),                             # validate.py:467-506
+        R.tool_role_consistency(tool_roles=("tool",)),        # models.py field pairs
     )
 
 
@@ -79,9 +83,15 @@ def compute_violations(
     t: TranscriptTables,
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
+    opening_roles: tuple[str, ...] | None = ("system",),
 ) -> DataFrame:
     v = (row_rules or transcript_row_rules()).violations(t.turns)
     v = v.unionByName(uniqueness_violations(t.turns))
+    if opening_roles:
+        # conversation-structure argmin (conv.opening_role) — part of the
+        # standard verdict path; pass opening_roles=None to disable for
+        # schemas where "first turn role" has no contract
+        v = v.unionByName(opening_role_violations(t.turns, opening_roles))
     if t.conversations is not None:
         v = v.unionByName(
             orphan_violations(t.turns, t.conversations, "conv_id", "conv_id", "ref.conv_id")
@@ -197,8 +207,11 @@ def validate(
     t: TranscriptTables,
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
+    opening_roles: tuple[str, ...] | None = ("system",),
 ) -> ValidationResult:
-    violations = compute_violations(t, row_rules, reconcile_manifest=reconcile_manifest)
+    violations = compute_violations(
+        t, row_rules, reconcile_manifest=reconcile_manifest, opening_roles=opening_roles
+    )
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)
     return ValidationResult(violations=violations, verdicts=verdicts, stats=stats)

@@ -92,12 +92,16 @@ GHOST_CONV = "u_ghost"
 
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine over a transcript projection of events:
-    row rules + uniqueness + referential (orphans, zero-children,
-    tool vocab) + sequence rules, one violations frame out.
+    row rules (incl. the fused tool⇔role rule) + uniqueness +
+    referential (orphans, zero-children, tool vocab) + opening-role
+    argmin + sequence rules, one violations frame out.
 
     Portable manifest: conversations = users with user_id % 7 != 0
     (every 7th user is an orphan), plus one ghost conversation with no
-    turns (zero-children warning)."""
+    turns (zero-children warning). Every 97th user carries an injected
+    stray 'shell' tool on its non-click turns (fires BOTH ref.tool and
+    tool.role_consistency); conversations opened by a purchase/signup
+    fire conv.opening_role."""
     from sgb_data_validator_spark.operators import rules as R
     from sgb_data_validator_spark.plans.pipeline import TranscriptTables, compute_violations
 
@@ -108,7 +112,9 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
-        F.when(F.col("event_type") == "click", F.lit("browser")).alias("tool"),
+        F.when(F.col("event_type") == "click", F.lit("browser"))
+        .when(F.col("user_id") % 97 == 0, F.lit("shell"))
+        .alias("tool"),
         "ts",
     ).withColumn("part", F.date_format("ts", "yyyy-MM-dd"))
     convs = (
@@ -123,9 +129,10 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.non_empty("text"),
         R.in_vocabulary("role", EVENT_TYPES),
         R.no_url_in_text("text"),
+        R.tool_role_consistency(tool_roles=("click",)),
     )
     t = TranscriptTables(turns=turns, conversations=convs, allowed_tools=tools)
-    return compute_violations(t, row_rules=rules)
+    return compute_violations(t, row_rules=rules, opening_roles=("view", "click"))
 
 
 _IN_TYPES = ", ".join(repr(x) for x in EVENT_TYPES)
@@ -135,7 +142,8 @@ WITH turns AS (
   SELECT 'u' || user_id::VARCHAR AS conv_id,
          cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
          event_type AS role, props AS text,
-         CASE WHEN event_type = 'click' THEN 'browser' END AS tool,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN user_id % 97 = 0 THEN 'shell' END AS tool,
          ts, strftime(ts, '%Y-%m-%d') AS part
   FROM events
 ),
@@ -190,6 +198,16 @@ FROM manifest m WHERE NOT EXISTS (SELECT 1 FROM turns t WHERE t.conv_id = m.conv
 UNION ALL
 SELECT 'ref.tool', conv_id, turn_idx, 'tool', tool, 'error', part
 FROM turns WHERE tool IS NOT NULL AND tool NOT IN ('browser')
+-- row rule: non-null tool only legal on click rows
+UNION ALL
+SELECT 'tool.role_consistency', conv_id, turn_idx, 'tool',
+       substr(tool, 1, 80), 'warning', part
+FROM turns WHERE tool IS NOT NULL AND role NOT IN ('click')
+-- opening-role argmin (turn_idx is row_number-derived ⇒ first = 0)
+UNION ALL
+SELECT 'conv.opening_role', conv_id, turn_idx, 'role',
+       substr(role, 1, 80), 'warning', part
+FROM turns WHERE turn_idx = 0 AND role NOT IN ('view', 'click')
 -- sequence: ts monotonicity
 UNION ALL
 SELECT 'ts.monotonicity', conv_id, turn_idx, 'ts', ts::VARCHAR, 'warning', part

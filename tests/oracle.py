@@ -53,6 +53,8 @@ def expected_violations(
             out.append(("ref.conv_id", cid, idx))
         if allowed_tools is not None and t["tool"] is not None and t["tool"] not in allowed_tools:
             out.append(("ref.tool", cid, idx))
+        if t["tool"] is not None and t["role"] is not None and t["role"] != "tool":
+            out.append(("tool.role_consistency", cid, idx))
 
     # sequence rules along (conv_id, turn_idx) ordering
     by_conv: dict[str, list[dict]] = defaultdict(list)
@@ -60,6 +62,11 @@ def expected_violations(
         by_conv[t["conv_id"]].append(t)
     for cid, rows in by_conv.items():
         rows = sorted(rows, key=lambda r: (r["turn_idx"],))
+        # opening-role: the FIRST turn (min turn_idx; tie-broken by role
+        # to mirror the engine's min-of-struct argmin) must be 'system'
+        first = min(rows, key=lambda r: (r["turn_idx"], r["role"] or "", r["part"] or ""))
+        if first["role"] is not None and first["role"] != "system":
+            out.append(("conv.opening_role", cid, first["turn_idx"]))
         prev = None
         for r in rows:
             if prev is not None:

@@ -218,3 +218,42 @@ def test_manifest_reconcile_property(spark):
         assert got == want
 
     run()
+
+def test_reconcile_tiny_relative_gap_not_rounded_away(spark):
+    """rel_tol=0.0 means EXACT: a 25000-vs-25001 mismatch (rel gap
+    4e-5, which rounds to 0.0 at 4 decimals) must still flag — the
+    filter runs on the unrounded gap; rounding is presentation-only.
+    This is the Zipf-hot-conversation regime (up to ~10M turns) where
+    a rounded-then-filtered gap silently passes real mismatches."""
+    from sgb_data_validator_spark.operators.referential import manifest_reconcile
+
+    mdf = spark.createDataFrame([(1, 25001)], "key long, stated long")
+    fdf = spark.range(25000).select(F.lit(1).alias("key"))
+    rows = manifest_reconcile(
+        fdf, mdf, "key", "key", "stated", F.count(F.lit(1)), 0.0
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].stated == 25001.0 and rows[0].computed == 25000.0
+    # output rel_gap IS rounded (presentation), but the row surfaced
+    assert rows[0].rel_gap == 0.0
+
+
+def test_reconcile_null_stated_surfaces_as_unverifiable(spark):
+    """A manifest row with NULL in the stated column cannot be
+    verified; it must surface (rel_gap NULL), not silently pass through
+    `NULL > rel_tol` being false."""
+    from sgb_data_validator_spark.operators.referential import manifest_reconcile
+
+    mdf = spark.createDataFrame(
+        [(1, None), (2, 3)], "key long, stated long"
+    )
+    fdf = spark.createDataFrame([(1,), (2,), (2,), (2,)], "key long")
+    rows = {
+        r.key: r
+        for r in manifest_reconcile(
+            fdf, mdf, "key", "key", "stated", F.count(F.lit(1)), 0.0
+        ).collect()
+    }
+    assert set(rows) == {1}, rows  # key 2 matches exactly; key 1 unverifiable
+    assert rows[1].stated is None and rows[1].rel_gap is None
+    assert rows[1].computed == 1.0
