@@ -354,6 +354,41 @@ def kmeans_train(
     )
 
 
+def kmeans_train_fixed(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_iter: int = 3,
+    mean_precision: int = 6,
+) -> DataFrame:
+    """Exactly ``n_iter`` Lloyd rounds, no convergence test — the
+    deterministic, SQL-expressible sibling of :func:`kmeans_train`.
+    Each round is :func:`kmeans_step`'s rounded arithmetic (4dp
+    assignment cosines, ``mean_precision``-dp means), so a chained-CTE
+    oracle replays the whole unroll bit-for-bit (the hash-checkable
+    driver form; see plans/extra_queries.py SQL_KMEANS_TRAIN_FIXED).
+    Use :func:`kmeans_train` when you want convergence semantics and a
+    raise on non-convergence.
+
+    Same loop discipline as kmeans_train: the narrow (id, vec)
+    projection is cached once and re-read per round; localCheckpoint
+    cuts lineage so the plan stays flat; the returned frame is
+    checkpointed, so unpersisting the cache is safe."""
+    fact = df.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        cur = centroids.select("cid", "cv", "cn").localCheckpoint()
+        for _ in range(n_iter - 1):
+            cur = (
+                kmeans_step(fact, cur, id_col, vec_col, mean_precision)
+                .select("cid", "cv", "cn")
+                .localCheckpoint()
+            )
+        return kmeans_step(fact, cur, id_col, vec_col, mean_precision).localCheckpoint()
+    finally:
+        fact.unpersist()
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -550,14 +550,22 @@ FROM m
 """
 
 
+KMEANS_FIXED_ROUNDS = 3
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means trained to convergence (operators/similarity.py:
-    kmeans_train): the bootstrap centroids iterated until max centroid
-    movement < tol — the trained quantizer knn_ivf/semantic_dedup feed
-    on. Iterative with a data-dependent round count, so no ANSI-SQL twin
-    exists (driver records the rows-only check); the training invariants
-    — monotone inertia descent, convergence raise, recall gain over the
-    bootstrap — are pinned by tests/test_extra_queries.py and
+    """Multi-round Lloyd k-means (operators/similarity.py:
+    kmeans_train_fixed): the bootstrap centroids through exactly
+    KMEANS_FIXED_ROUNDS unrolled iterations — the driver-checkable form
+    of training. Each round is kmeans_step's rounded arithmetic (4dp
+    assignment cosines + cid tiebreak, 6dp means), so the DuckDB twin
+    replays the unroll as chained CTEs and the result hashes equal.
+    The CONVERGENCE variant (kmeans_train: iterate until max centroid
+    movement < tol, raise on non-convergence) stays the production
+    path; its data-dependent round count is why the driver checks the
+    fixed unroll — the training invariants (monotone inertia descent,
+    convergence raise, fixed==chained-steps parity, recall gain over
+    the bootstrap) are pinned by tests/test_training_ops.py and
     tools/ann_recall.py. Long-format output like q_kmeans_step."""
     from sgb_data_validator_spark.operators.dedup import dot
 
@@ -567,17 +575,52 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         dot(F.col("v"), F.col("v")).alias("cn"),
     )
-    # tol=1e-2 on max cosine movement: past it the 6dp-rounded means sit
-    # in a ~2e-3 limit-cycle plateau for many rounds before snapping to
-    # the exact fixed point (measured at sf0.1) — extra rounds that cost
-    # bench wall without moving recall; ann_recall.py trains at 1e-6 to
-    # show the tight-tol numbers
-    trained = S.kmeans_train(vecs, cent, "vec_id", "v", max_iter=20, tol=1e-2)
+    trained = S.kmeans_train_fixed(
+        vecs, cent, "vec_id", "v", n_iter=KMEANS_FIXED_ROUNDS
+    )
     return trained.select(
         F.col("cid").cast("bigint").alias("cid"),
         F.posexplode("cv").alias("pos", "mean"),
         "n_members",
     ).select("cid", F.col("pos").cast("int").alias("pos"), "mean", "n_members")
+
+
+def _sql_lloyd_round(r: int, cent_cte: str) -> str:
+    """One Lloyd round as CTE text: assign every vector to its nearest
+    centroid from ``cent_cte`` (rounded cosine, cid tiebreak — the exact
+    ivf_assign discipline), recompute 6dp component means, rebuild the
+    centroid arrays for the next round."""
+    return f"""
+asg{r} AS (
+  SELECT a.vec_id, a.v, c.cid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {SQL_COS.format(a="a.v", b="c.cv")} DESC, c.cid ASC
+         ) AS rnk
+  FROM alle a CROSS JOIN {cent_cte} c
+),
+cells{r} AS (SELECT vec_id, v, cid FROM asg{r} WHERE rnk = 1),
+comp{r} AS (SELECT cid, r.i AS pos, v[r.i + 1] AS val FROM cells{r}, range({DIM}) r(i)),
+m{r} AS (
+  SELECT cid, pos, round(avg(val), 6) AS mean, count(*) AS n
+  FROM comp{r} GROUP BY 1, 2
+),
+cent{r} AS (SELECT cid, list(mean ORDER BY pos) AS cv FROM m{r} GROUP BY 1)"""
+
+
+SQL_KMEANS_TRAIN_FIXED = (
+    f"WITH {SQL_VECTORS_TWINS},\n"
+    f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM alle WHERE vec_id % {CENT_MOD} = 0),"
+    + ",".join(
+        _sql_lloyd_round(r, f"cent{r - 1}")
+        for r in range(1, KMEANS_FIXED_ROUNDS + 1)
+    )
+    + f"""
+SELECT cast(cid AS bigint) AS cid, cast(pos AS int) AS pos, mean,
+       cast(n AS bigint) AS n_members
+FROM m{KMEANS_FIXED_ROUNDS}
+"""
+)
 
 
 EXTRA_QUERIES: dict[str, tuple] = {
@@ -595,5 +638,5 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_ivf_nprobe": (q_knn_ivf_nprobe, SQL_KNN_IVF_NPROBE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
-    "kmeans_train": (q_kmeans_train, None),  # iterative — rows-only check
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN_FIXED),
 }

@@ -440,3 +440,41 @@ def test_contamination_ngram_finds_cross_source_near_dups(spark):
         twin = origin + TEXT_TWIN_OFFSET
         if jac(origin, twin) >= 0.9:
             assert (origin, twin) in pairs, f"twin of {origin} not flagged"
+
+
+def test_kmeans_train_fixed_equals_chained_steps(spark):
+    """kmeans_train_fixed(n_iter=N) must return exactly what N manually
+    chained kmeans_step calls return — the contract that lets the
+    driver's chained-CTE oracle replay the unroll (see
+    plans/extra_queries.py SQL_KMEANS_TRAIN_FIXED)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.dedup import dot
+    from sgb_data_validator_spark.operators.similarity import (
+        kmeans_step,
+        kmeans_train_fixed,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(90)]
+    vecs = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    cent = vecs.where(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("cn"),
+    )
+    fixed = {
+        r["cid"]: (r["cv"], r["n_members"])
+        for r in kmeans_train_fixed(vecs, cent, "vec_id", "v", n_iter=3).collect()
+    }
+    cur = cent
+    stepped = None
+    for _ in range(3):
+        stepped = kmeans_step(vecs, cur, "vec_id", "v")
+        cur = stepped.select("cid", "cv", "cn")
+    chained = {
+        r["cid"]: (r["cv"], r["n_members"]) for r in stepped.collect()
+    }
+    assert fixed == chained
