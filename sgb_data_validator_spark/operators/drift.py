@@ -98,6 +98,38 @@ def psi(turns: DataFrame, baseline: DataFrame, dim: str, value_col=None) -> Data
     )
 
 
+def js_divergence(
+    turns: DataFrame, baseline: DataFrame, dim: str, value_col=None
+) -> DataFrame:
+    """(part, dim, js) — Jensen–Shannon divergence of the per-partition
+    categorical mix vs the baseline: JS(p‖q) = ½·KL(p‖m) + ½·KL(q‖m)
+    with m = (p+q)/2. The symmetric, BOUNDED (≤ ln 2) member of the
+    drift family — unlike KL it cannot blow up on a category the other
+    side lacks, so one alert threshold works across dimensions with
+    very different cardinalities. Same full-grid ε-smoothing as psi()
+    (vanished and brand-new categories both register), same plan shape:
+    one (part, value) count shuffle, broadcast baseline grid, per-part
+    reduction."""
+    value_col = value_col if value_col is not None else F.col(dim)
+    p = categorical_freqs(turns, dim, value_col).select("part", "value", "p")
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    grid = p.select("part").distinct().crossJoin(F.broadcast(q))
+    joined = (
+        p.join(grid, ["part", "value"], "full")
+        .withColumn("p", F.coalesce(F.col("p"), F.lit(EPSILON)))
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(EPSILON)))
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(
+        F.col("q") / m
+    )
+    return (
+        joined.groupBy("part")
+        .agg(F.sum(term).alias("js"))
+        .select("part", F.lit(dim).alias("dim"), "js")
+    )
+
+
 def ks_statistic(
     turns: DataFrame,
     baseline: DataFrame,

@@ -27,7 +27,9 @@ Pack ids are globally unique: ``bucket * PACK_STRIDE + local_pack``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sgb_data_validator_spark.operators.dedup import portable_hash
@@ -112,6 +114,7 @@ def token_window_chunks(
     window: int,
     stride: int,
     carry_cols: tuple[str, ...] = (),
+    tokenizer: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Sliding token-window chunking: split ``text_col`` on whitespace
     and emit one row per window of ``window`` tokens advancing by
@@ -136,14 +139,21 @@ def token_window_chunks(
         raise ValueError(f"window must be a positive int, got {window!r}")
     if not isinstance(stride, int) or isinstance(stride, bool) or stride < 1:
         raise ValueError(f"stride must be a positive int, got {stride!r}")
-    # trim ALL whitespace, not F.trim (which strips only 0x20 — a
-    # tab/newline-padded doc would otherwise emit empty-string tokens
-    # at the edges; caught by the hypothesis adversary texts=['\t'])
-    cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
-    words = F.split(cleaned, r"\s+")
-    base = df.where(
-        F.col(text_col).isNotNull() & (cleaned != "")
-    ).select(
+    if tokenizer is None:
+        # default: whitespace tokens. Trim ALL whitespace, not F.trim
+        # (which strips only 0x20 — a tab/newline-padded doc would
+        # otherwise emit empty-string tokens at the edges; caught by
+        # the hypothesis adversary texts=['\t'])
+        cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+        words = F.split(cleaned, r"\s+")
+        keep = F.col(text_col).isNotNull() & (cleaned != "")
+    else:
+        # pluggable tokenizer (e.g. textanalysis.tokenize_bpe): any
+        # Column->array<string> expression; window/stride then count in
+        # ITS units, so budgets match the paired counter by construction
+        words = tokenizer(F.col(text_col))
+        keep = F.col(text_col).isNotNull() & (F.size(words) > 0)
+    base = df.where(keep).select(
         F.col(id_col).alias("id"),
         *carry_cols,
         words.alias("__words"),

@@ -150,3 +150,50 @@ def stats_digest(stats: DataFrame) -> DataFrame:
     return stats.groupBy("part").agg(
         F.md5(F.concat_ws("#", F.sort_array(F.collect_list(canon)))).alias("stats_digest")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    id_col: str,
+    k: float = 3.0,
+    mad_floor: float = 0.5,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per group — the profiling
+    family's (A4) answer to "which documents have anomalous lengths for
+    their source": robust_z = (x − median) / max(MAD, mad_floor), emit
+    rows with |robust_z| > k. Median+MAD resist the heavy-tailed length
+    distributions real corpora have, where mean/stddev z-scores let a
+    few megadocs mask everything else (reference analog: the profiling
+    snapshot's per-column min/max/mean row, src/profiling.py:57-83, made
+    actionable per record).
+
+    Plan shape: TWO grouped exact-percentile aggregations over (group,
+    value) — each a single shuffle keyed by the group — with the tiny
+    per-group stats broadcast back onto the fact; the fact itself never
+    re-shuffles. Exact percentile buffers a group's values in the
+    aggregation; at extreme group cardinality swap F.percentile for
+    approx_percentile (same plan, sketch-bounded memory) — the exact
+    form is kept here because the DuckDB oracle (quantile_cont) matches
+    it bit-for-bit on integer inputs. ``mad_floor`` guards the
+    degenerate all-identical group (MAD 0) from dividing by zero while
+    still flagging any deviation from it."""
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        v.cast("double").alias("x"),
+    )
+    med = base.groupBy("grp").agg(F.percentile("x", 0.5).alias("med"))
+    with_med = base.join(F.broadcast(med), "grp")
+    mad = with_med.groupBy("grp").agg(
+        F.percentile(F.abs(F.col("x") - F.col("med")), 0.5).alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "grp").withColumn(
+        "robust_z",
+        F.round((F.col("x") - F.col("med")) / F.greatest(F.col("mad"), F.lit(mad_floor)), 4),
+    )
+    return scored.where(F.abs(F.col("robust_z")) > k).select(
+        "id", "grp", "x", "med", "mad", "robust_z"
+    )

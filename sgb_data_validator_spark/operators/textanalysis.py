@@ -68,6 +68,67 @@ def token_count_regex(text: Column) -> Column:
     return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("bigint")
 
 
+#: subword granularity of the BPE approximation: real BPE vocabularies
+#: average ~4 chars/token on natural-language text (GPT-2/tiktoken's
+#: published rule of thumb), so a pre-token of length L costs ceil(L/4)
+#: subword units; 1-char punctuation costs exactly 1.
+BPE_CHARS_PER_TOKEN = 4
+
+
+def token_count_bpe(text: Column, chars_per_token: int = BPE_CHARS_PER_TOKEN) -> Column:
+    """Deterministic, portable BPE-approximation token count: the text
+    is pre-tokenized with TOKEN_PATTERN (word runs + punctuation
+    singles, the GPT-2 pre-tokenizer shape) and each pre-token costs
+    ``ceil(len / chars_per_token)`` subword units — the standard
+    chars-per-token budgeting rule, engine-portable because it is pure
+    integer arithmetic over regex matches (DuckDB twin:
+    SQL_TOKEN_COUNT_BPE). Whitespace budgeting (token_count_ws)
+    undercounts long words ~2-3x vs a real tokenizer; this estimator
+    tracks BPE budgets closely enough to size packs with. Swap in a
+    real tokenizer via the same Column->Column counter interface
+    (pack_sequences takes any precomputed count column;
+    token_window_chunks takes any tokenizer)."""
+    per = F.transform(
+        F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0),
+        lambda t: F.floor((F.length(t) + (chars_per_token - 1)) / chars_per_token).cast(
+            "bigint"
+        ),
+    )
+    return F.coalesce(
+        F.aggregate(per, F.lit(0).cast("bigint"), lambda a, x: a + x),
+        F.lit(0).cast("bigint"),
+    )
+
+
+def tokenize_ws(text: Column) -> Column:
+    """Whitespace token array (all-whitespace-safe: returns an empty
+    array, never [''])."""
+    cleaned = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, r"\s+")
+    )
+
+
+def tokenize_bpe(text: Column, chars_per_token: int = BPE_CHARS_PER_TOKEN) -> Column:
+    """BPE-approximation subword ARRAY: each TOKEN_PATTERN pre-token is
+    sliced into ceil(len/chars_per_token) pieces of at most
+    ``chars_per_token`` chars, so ``size(tokenize_bpe(t)) ==
+    token_count_bpe(t)`` by construction (pytest-pinned). Pure codegen
+    (regex + nested transform + flatten), no UDF — the materialized
+    form token_window_chunks needs to place window boundaries in the
+    same units token_count_bpe budgets in."""
+    c = chars_per_token
+    return F.flatten(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.floor((F.length(t) - 1) / c).cast("int")),
+                lambda i: F.substring(t, i * c + 1, F.lit(c)),
+            ),
+        )
+    )
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """The standard cheap quality signals (Gopher/C4-style filters).
 

@@ -685,7 +685,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans the whole fixture (35 days) so the parity check is
     batching-order-independent; a production deployment sets it to the
     real out-of-orderness bound (minutes), which is what makes the
-    state O(rate × horizon) instead of O(stream).
+    state O(rate × horizon) instead of O(stream) — that behavior
+    (multi-batch run, minutes-scale watermark, late-beyond-watermark
+    match DROPPED while the batch join would emit it) is pinned by
+    tests/test_streaming.py::
+    test_interval_join_production_horizon_drops_late; do NOT copy this
+    harness's 35-day horizon into production.
 
     The sink aggregation (per-user attribution counts) is the stable
     comparison surface; the batch SQL twin proves result parity."""

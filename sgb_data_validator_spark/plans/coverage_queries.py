@@ -671,6 +671,100 @@ FROM documents WHERE doc_id < 200
 SQL_ICONCLASS_PARTS = _sql_iconclass_parts()
 
 
+def q_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon drift per day vs the global event-type mix
+    (operators/drift.py:js_divergence) — the symmetric, bounded-by-ln2
+    member of the drift family: one alert threshold works across
+    dimensions of any cardinality because a category the other side
+    lacks contributes at most its own mass, never infinity. Same
+    in-plan global baseline and single-scan shape as q_drift_psi."""
+    from pyspark.sql import Window
+
+    from sgb_data_validator_spark.operators.drift import js_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        F.col("event_type").alias("role"),
+    )
+    baseline = (
+        t.groupBy(F.col("role").alias("value"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("role").alias("dim"),
+            "value",
+            (F.col("_n") / F.sum("_n").over(Window.partitionBy())).alias("freq"),
+        )
+    )
+    return js_divergence(t, baseline, "role").select(
+        "part", F.round("js", 6).alias("js")
+    )
+
+
+SQL_DRIFT_JS = """
+WITH q AS (
+  SELECT event_type AS value,
+         count(*) / cast((SELECT count(*) FROM events) AS double) AS q
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, event_type AS value,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS double) AS p
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT part, value, q FROM (SELECT DISTINCT part FROM p) CROSS JOIN q
+), j AS (
+  SELECT coalesce(g.part, p.part) AS part,
+         coalesce(p.p, 1e-6) AS p, coalesce(g.q, 1e-6) AS q
+  FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
+)
+SELECT part,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+               + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+FROM j GROUP BY part
+"""
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust length outliers per source
+    (operators/stats.py:robust_outliers): documents whose char length
+    sits more than k robust-z units from their source's median — the
+    per-record actionable form of the profiling row. k=2 splits the
+    synthetic corpus (its lengths are tight; real corpora use 3-5)."""
+    from sgb_data_validator_spark.operators.stats import robust_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    return robust_outliers(
+        docs, "source", F.length("text"), "doc_id", k=2.0
+    ).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("grp").alias("source"),
+        F.col("x").alias("len"),
+        "med",
+        "mad",
+        "robust_z",
+    )
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH base AS (
+  SELECT doc_id, source, cast(length(text) AS double) AS x
+  FROM documents WHERE text IS NOT NULL
+),
+med AS (SELECT source, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1),
+mad AS (
+  SELECT b.source, quantile_cont(abs(b.x - m.med), 0.5) AS mad
+  FROM base b JOIN med m USING (source) GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id, b.source, b.x, m.med, d.mad,
+         round((b.x - m.med) / greatest(d.mad, 0.5), 4) AS robust_z
+  FROM base b JOIN med m USING (source) JOIN mad d ON d.source = b.source
+)
+SELECT cast(doc_id AS bigint) AS doc_id, source, x AS len, med, mad, robust_z
+FROM scored WHERE abs(robust_z) > 2.0
+"""
+
+
 COVERAGE_QUERIES: dict[str, tuple] = {
     "iso639_lang": (q_iso639_lang, SQL_ISO639_LANG),
     "iconclass_hierarchy": (q_iconclass_hierarchy, SQL_ICONCLASS_HIERARCHY),
@@ -681,6 +775,8 @@ COVERAGE_QUERIES: dict[str, tuple] = {
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "drift_ks": (q_drift_ks, SQL_DRIFT_KS),
+    "drift_js": (q_drift_js, SQL_DRIFT_JS),
+    "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "volume_anomaly": (q_volume_anomaly, SQL_VOLUME_ANOMALY),
     "backup_restore": (q_backup_restore, SQL_BACKUP_RESTORE),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

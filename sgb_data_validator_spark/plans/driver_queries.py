@@ -407,39 +407,45 @@ FROM g WHERE min_ln <> 1 OR max_ln <> n_distinct OR n_rows <> n_distinct
 
 # ---------------------------------------------------------------- reports
 
-#: (applicationId, sf_dir) → persisted violations frame. q_summary and
-#: q_pivot both consume the full violations union; without this memo each
-#: of them re-evaluated all four rule families from scratch (8 family
-#: evaluations, ~4 extra fact scans per report pass — the two slowest
-#: non-dedup queries in BENCH_r01). The frame is small (violation rows,
-#: not facts), so persisting it is safe.
-_VIOLATIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_REPORT_VIEW_PREFIX = "sgb_report_violations_"
 
 
 def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _VIOLATIONS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # single-entry cache: evict (and unpersist) everything else so a long
-    # session benchmarking several sf_dirs neither leaks executor storage
-    # nor serves stale frames after the data at an old key is regenerated
-    for old_key in list(_VIOLATIONS_CACHE):
-        _VIOLATIONS_CACHE.pop(old_key).unpersist()
-    v = (
-        q_row_rules(spark, sf_dir)
-        .unionByName(q_unique(spark, sf_dir))
-        .unionByName(q_ref_orphans(spark, sf_dir))
-        .unionByName(q_zero_children(spark, sf_dir))
-    ).persist()
-    _VIOLATIONS_CACHE[key] = v
-    return v
+    """The shared all-rule-families violations frame the report queries
+    (q_summary, q_pivot) both consume. Without sharing, each of them
+    re-evaluates all four rule families from scratch (8 family
+    evaluations, ~4 extra fact scans per report pass — the two slowest
+    non-dedup queries in BENCH_r01). The frame is small (violation
+    rows, not facts), so caching it is safe.
+
+    The shared state lives in the SPARK CATALOG, not a module global:
+    the union is registered once per sf_dir as a cached temp view, so
+    it is session-scoped by construction (a fresh SparkSession starts
+    clean, `spark.catalog` can list/inspect it, `clearCache()` and
+    session stop reclaim the storage) — replacing the r3 module-level
+    memo dict that outlived sessions."""
+    import hashlib
+
+    name = _REPORT_VIEW_PREFIX + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if not spark.catalog.tableExists(name):
+        v = (
+            q_row_rules(spark, sf_dir)
+            .unionByName(q_unique(spark, sf_dir))
+            .unionByName(q_ref_orphans(spark, sf_dir))
+            .unionByName(q_zero_children(spark, sf_dir))
+        )
+        v.createTempView(name)
+        spark.catalog.cacheTable(name)
+    return spark.table(name)
 
 
-def clear_violations_cache() -> None:
-    """Explicit eviction hook for harnesses that regenerate data mid-app."""
-    for key in list(_VIOLATIONS_CACHE):
-        _VIOLATIONS_CACHE.pop(key).unpersist()
+def clear_violations_cache(spark: SparkSession) -> None:
+    """Explicit eviction hook for harnesses that regenerate data
+    mid-session: drops (and uncaches) every report view this module
+    registered in the session's catalog."""
+    for view in spark.catalog.listTables():
+        if view.name.startswith(_REPORT_VIEW_PREFIX):
+            spark.catalog.dropTempView(view.name)
 
 
 _SQL_ALL_VIOLATIONS = " UNION ALL ".join(
@@ -675,7 +681,14 @@ _DRIVER_FRONT = [
     # the union: after round 4 every registered query — 104 at the r4
     # registry size; see the assertion below for the live count — has
     # had a driver row in some round)
-    "asof_attribution", "error_context", "pack_sequences",
+    # r5: the round's three new queries (token_count_bpe, drift_js,
+    # length_outliers) take the slots of asof_attribution /
+    # error_context / pack_sequences (all r4 hash-green, unchanged in
+    # r5, still in the local gate); every changed-in-r5 query
+    # (transcript_pipeline, reconcile_totals, role_structure,
+    # kmeans_train, summary, pivot, verdicts, row_rules, unique) is
+    # already inside the window
+    "token_count_bpe", "drift_js", "length_outliers",
     "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
     "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",
     "stats_hll", "iconclass_parts",

@@ -556,6 +556,32 @@ FROM documents
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-approximation token budgeting (operators/textanalysis.py:
+    token_count_bpe): pre-tokenize with the GPT-2-shape regex, charge
+    ceil(len/4) subword units per pre-token — the counter pack
+    manifests should budget with (whitespace counts undercount long
+    words vs a real tokenizer). Emits both counts side by side so the
+    whitespace-vs-BPE gap is oracle-visible."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        T.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        T.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT cast(doc_id AS bigint) AS doc_id,
+       cast(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS bigint) AS n_tokens_ws,
+       cast(coalesce(list_sum(list_transform(
+              regexp_extract_all(text, '{T.TOKEN_PATTERN}'),
+              t -> cast(floor((length(t) + 3) / 4.0) AS bigint))), 0) AS bigint) AS n_tokens_bpe
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1606,6 +1632,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),

@@ -182,3 +182,125 @@ def test_epoch_manifest_property(spark, keys, epochs, n_shards):
             for pos, (_h, k) in enumerate(sorted(members), start=1):
                 exp.append((epoch, shard, pos, k))
     assert got == sorted(exp)
+
+
+def test_bpe_counter_and_tokenizer_agree(spark):
+    """size(tokenize_bpe(t)) == token_count_bpe(t) for adversarial
+    shapes (unicode, punctuation runs, long words, empty, whitespace),
+    and both match a pure-Python replay of the ceil(len/4) rule."""
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.textanalysis import (
+        TOKEN_PATTERN,
+        token_count_bpe,
+        tokenize_bpe,
+    )
+
+    texts = [
+        "hello world",
+        "internationalization antidisestablishmentarianism",
+        "a b c d",
+        "über zürich!!! foo_bar2 x",
+        "",
+        "   ",
+        "https://example.com/p?q=1",
+        "word," * 10,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: (r.n, r.toks)
+        for r in df.select(
+            "i",
+            token_count_bpe(F.col("t")).alias("n"),
+            tokenize_bpe(F.col("t")).alias("toks"),
+        ).collect()
+    }
+    pat = re.compile(TOKEN_PATTERN)
+    for i, t in enumerate(texts):
+        pre = pat.findall(t)
+        want = sum(math.ceil(len(p) / 4) for p in pre)
+        n, toks = got[i]
+        assert n == want, (t, n, want)
+        assert len(toks) == n, (t, toks, n)
+        # slices reassemble the pre-tokens exactly
+        assert "".join(toks) == "".join(pre), (t, toks)
+
+
+def test_pack_sequences_budgets_hold_under_bpe_counts(spark):
+    """pack_sequences driven by token_count_bpe: within every bucket,
+    each non-final pack's occupied token span is exactly `budget`
+    (concat-and-chunk leaves no gaps), offsets are contiguous, and the
+    per-doc counts equal the BPE counter's — the manifest a loader
+    could execute with a chars-per-token tokenizer."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.packing import PACK_STRIDE, pack_sequences
+    from sgb_data_validator_spark.operators.textanalysis import token_count_bpe
+
+    texts = [
+        (i, f"doc {i} " + "lorem ipsum dolor sit amet " * (i % 7 + 1))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string").select(
+        "doc_id", "text", token_count_bpe(F.col("text")).alias("n_bpe")
+    )
+    want = {r.doc_id: r.n_bpe for r in df.collect()}
+    budget = 64
+    out = pack_sequences(df, "doc_id", "n_bpe", budget, n_buckets=4).collect()
+    assert {r.id for r in out} == {i for i, _ in texts}  # all docs land (n_bpe>0)
+    by_bucket = defaultdict(list)
+    for r in out:
+        assert r.n_tokens == want[r.id]
+        by_bucket[r.bucket].append(r)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r.begin_offset)
+        # contiguous stream: no gaps, no overlaps
+        pos = 0
+        for r in rows:
+            assert r.begin_offset == pos, (bucket, r)
+            assert r.pack_id == bucket * PACK_STRIDE + r.begin_offset // budget
+            assert r.offset_in_pack == r.begin_offset % budget
+            assert r.spans_boundary == (
+                (r.begin_offset // budget) != ((r.begin_offset + r.n_tokens - 1) // budget)
+            )
+            pos += r.n_tokens
+        # every pack before the bucket's last is fully occupied
+        total = pos
+        assert total == sum(want[r.id] for r in rows)
+        n_full_packs = total // budget
+        assert n_full_packs >= 1  # the fixture overfills several packs
+
+
+def test_token_window_chunks_with_bpe_tokenizer(spark):
+    """token_window_chunks with tokenize_bpe: chunk sizes count in BPE
+    units (every chunk ≤ window, strides cover the whole doc) and the
+    total coverage at stride == window equals token_count_bpe."""
+    from pyspark.sql import functions as F
+
+    from sgb_data_validator_spark.operators.packing import token_window_chunks
+    from sgb_data_validator_spark.operators.textanalysis import (
+        token_count_bpe,
+        tokenize_bpe,
+    )
+
+    texts = [(1, "internationalization of the antidisestablishmentarianism corpus!"),
+             (2, "short"), (3, "   "), (4, None)]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    out = token_window_chunks(
+        df, "doc_id", "text", window=3, stride=3, tokenizer=tokenize_bpe
+    ).collect()
+    want = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count_bpe(F.col("text")).alias("n")).collect()
+    }
+    got_totals = {}
+    for r in out:
+        assert 1 <= r.chunk_tokens <= 3
+        got_totals[r.id] = got_totals.get(r.id, 0) + r.chunk_tokens
+    # non-overlapping windows partition the token stream exactly
+    assert got_totals == {1: want[1], 2: want[2]}  # 3 (whitespace-only) and 4 (null) drop

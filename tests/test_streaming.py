@@ -230,3 +230,96 @@ def test_stream_duplicate_violations_across_batches(spark, tmp_path):
         assert r.rule_id == "unique.turn" and r.severity == "error"
         by_key[(r.conv_id, r.turn_idx)] = by_key.get((r.conv_id, r.turn_idx), 0) + 1
     assert by_key == {("cA", 0): 1, ("cB", 0): 2}
+
+
+def test_interval_join_production_horizon_drops_late(spark, tmp_path):
+    """The stream-stream interval join with a REAL out-of-orderness
+    bound (10 minutes, not the parity harness's fixture-wide horizon)
+    over multi-micro-batch input: a purchase arriving in a later batch
+    with event time beyond the watermark is DROPPED even though the
+    batch join predicate matches it — the state-bounding behavior a
+    production deployment relies on (state O(rate × horizon)). Guards
+    against cargo-culting q_streaming_interval_join's 35-day harness
+    horizon into production (plans/analysis_queries.py)."""
+    import datetime
+    import os
+
+    clicks_dir = str(tmp_path / "clicks")
+    pur_dir = str(tmp_path / "purchases")
+    os.makedirs(clicks_dir), os.makedirs(pur_dir)
+    T = datetime.datetime(2026, 1, 5, 10, 0, 0)
+
+    def m(minutes):
+        return T + datetime.timedelta(minutes=minutes)
+
+    schema_c = "click_id bigint, click_ts timestamp, user_id bigint"
+    schema_p = "purchase_id bigint, purchase_ts timestamp, p_user_id bigint"
+    # batch 0: clicks for users 1 and 2; one on-time purchase (user 1).
+    # End-of-batch watermark: 10:10 − 10 min = 09:50 (clicks node 09:50)
+    spark.createDataFrame(
+        [(100, m(0), 1), (200, m(-65), 2)], schema_c
+    ).coalesce(1).write.parquet(f"{clicks_dir}/b1")
+    spark.createDataFrame(
+        [(500, m(10), 1)], schema_p
+    ).coalesce(1).write.parquet(f"{pur_dir}/b1")
+    # batch 1: an on-time filler purchase. With watermark 09:50 active,
+    # this batch EVICTS click state older than 09:50 − 30 min = 09:20 —
+    # i.e. user 2's click at 08:55 (the interval join's state bound:
+    # a click can only ever match purchases ≤ 30 min after it)
+    spark.createDataFrame(
+        [(700, m(20), 1)], schema_p
+    ).coalesce(1).write.parquet(f"{pur_dir}/b2")
+    # batch 2: the LATE purchase for user 2 — inside user 2's 30-min
+    # join window (click at -65, purchase at -60) but far below the
+    # watermark: its click state is gone, so no match can be emitted
+    spark.createDataFrame(
+        [(600, m(-60), 2)], schema_p
+    ).coalesce(1).write.parquet(f"{pur_dir}/b3")
+    # file-source ordering is by modification time: force b1 < b2 < b3
+    now = 1767600000
+    for i, sub in enumerate(("b1", "b2", "b3")):
+        d = f"{pur_dir}/{sub}"
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + i * 1000, now + i * 1000))
+
+    clicks = (
+        spark.readStream.schema(schema_c)
+        .option("recursiveFileLookup", "true")
+        .parquet(clicks_dir)
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(schema_p)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pur_dir)
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = si.run_available_now(joined, out, ckpt)
+    q.awaitTermination(300)
+    got = {(r.user_id, r.purchase_id) for r in spark.read.parquet(out).collect()}
+    # both on-time purchases attributed; nothing for the late one
+    assert got == {(1, 500), (1, 700)}, got
+    # the batch join over identical data WOULD emit user 2's match —
+    # proving the streaming absence is the watermark drop, not the
+    # join predicate
+    bc = spark.read.schema(schema_c).option("recursiveFileLookup", "true").parquet(clicks_dir)
+    bp = spark.read.schema(schema_p).option("recursiveFileLookup", "true").parquet(pur_dir)
+    batch = bc.join(
+        bp,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    assert {(r.user_id, r.purchase_id) for r in batch.collect()} == {
+        (1, 500), (1, 700), (2, 600),
+    }

@@ -159,3 +159,71 @@ def test_drift_fires_on_shifted_partition(spark):
     got = {(r.rule_id, r.part) for r in drift_violations(turns, baseline).collect()}
     assert ("drift.kl.role", "bad") in got
     assert all(p != "good" for _, p in got)
+
+
+def test_js_divergence_bounded_and_zero_on_identical(spark):
+    """JS is 0 on an identical mix and ≤ ln 2 even when the partition's
+    categories are fully disjoint from the baseline — the boundedness
+    KL lacks (its disjoint case explodes toward ln(1/ε))."""
+    import math
+
+    from sgb_data_validator_spark.operators.drift import js_divergence, kl_divergence
+
+    same = spark.createDataFrame(
+        [("p1", "a")] * 30 + [("p1", "b")] * 70, "part string, role string"
+    )
+    baseline = spark.createDataFrame(
+        [("role", "a", 0.3), ("role", "b", 0.7)], "dim string, value string, freq double"
+    )
+    [r] = js_divergence(same, baseline, "role").collect()
+    assert abs(r.js) < 1e-12
+    disjoint = spark.createDataFrame(
+        [("p1", "x")] * 50 + [("p1", "y")] * 50, "part string, role string"
+    )
+    [rj] = js_divergence(disjoint, baseline, "role").collect()
+    [rk] = kl_divergence(disjoint, baseline, "role").collect()
+    assert rj.js <= math.log(2) + 1e-9
+    assert rj.js > 0.5  # near the bound: total separation
+    assert rk.kl > math.log(2) * 5  # KL blows up where JS stays bounded
+
+
+def test_js_divergence_symmetric(spark):
+    """Swapping partition mix and baseline leaves JS unchanged (up to
+    the ε-smoothing of categories the grids share here: none missing)."""
+    from sgb_data_validator_spark.operators.drift import js_divergence
+
+    t1 = spark.createDataFrame(
+        [("p1", "a")] * 20 + [("p1", "b")] * 80, "part string, role string"
+    )
+    b1 = spark.createDataFrame(
+        [("role", "a", 0.6), ("role", "b", 0.4)], "dim string, value string, freq double"
+    )
+    t2 = spark.createDataFrame(
+        [("p1", "a")] * 60 + [("p1", "b")] * 40, "part string, role string"
+    )
+    b2 = spark.createDataFrame(
+        [("role", "a", 0.2), ("role", "b", 0.8)], "dim string, value string, freq double"
+    )
+    [x] = js_divergence(t1, b1, "role").collect()
+    [y] = js_divergence(t2, b2, "role").collect()
+    assert abs(x.js - y.js) < 1e-12
+
+
+def test_robust_outliers_flags_megadoc_not_bulk(spark):
+    """A single megadoc among tight-length peers is flagged with the
+    right robust-z; the bulk stays silent; the all-identical group
+    (MAD 0) uses the floor instead of dividing by zero."""
+    from sgb_data_validator_spark.operators.stats import robust_outliers
+
+    rows = [(i, "src1", 100 + (i % 5)) for i in range(50)]          # 100..104
+    rows += [(99, "src1", 5000)]                                     # megadoc
+    rows += [(200 + i, "src2", 77) for i in range(20)]               # identical
+    rows += [(299, "src2", 78)]                                      # tiny deviation
+    df = spark.createDataFrame(rows, "doc_id int, source string, n int")
+    out = {r.id: r for r in robust_outliers(df, "source", "n", "doc_id", k=3.0).collect()}
+    assert 99 in out and out[99].grp == "src1"
+    assert out[99].med == 102.0 and out[99].robust_z > 1000
+    # src2: MAD is 0, floor 0.5 ⇒ deviation of 1 scores z=2.0 < k ⇒ silent
+    assert set(out) == {99}
+    out2 = {r.id for r in robust_outliers(df, "source", "n", "doc_id", k=1.5).collect()}
+    assert 299 in out2  # lower threshold surfaces the floored deviation
