@@ -173,6 +173,50 @@ def ks_statistic(
     )
 
 
+def wasserstein(
+    turns: DataFrame,
+    baseline: DataFrame,
+    dim: str = "ts_hour_bucket",
+    value_col=None,
+) -> DataFrame:
+    """(part, dim, w1) — first Wasserstein (earth-mover) distance between
+    the per-partition histogram over ORDERED integer buckets and the
+    baseline, with unit bucket width: W1 = Σ_h |CDF_p(h) − CDF_q(h)|.
+
+    Completes the drift family's ordered-axis pair: KS reports the single
+    worst CDF gap (max), W1 reports the total transported mass × distance
+    (sum) — a distribution that shifts ALL its mass one bucket later has
+    tiny KS-per-bucket but W1 ≈ 1.0, so W1 catches broad gentle shifts
+    KS underweights, and its unit is "buckets of displacement", directly
+    interpretable as e.g. "traffic moved 2.3 hours later".
+
+    Zero cells are exact (no smoothing), like KS. Plan shape identical to
+    ks_statistic: the fact collapses to O(parts × buckets) rows in ONE
+    (part, value) count shuffle, the baseline is broadcast, and the CDF
+    window + per-part reduction run on the tiny frame.
+    """
+    value_col = value_col if value_col is not None else F.hour("ts").cast("string")
+    p = categorical_freqs(turns, dim, value_col).select("part", "value", "p")
+    q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
+    grid = p.select("part").distinct().crossJoin(F.broadcast(q))
+    joined = (
+        p.join(grid, ["part", "value"], "full")
+        .withColumn("p", F.coalesce(F.col("p"), F.lit(0.0)))
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
+    )
+    w = Window.partitionBy("part").orderBy(F.col("value").cast("int"))
+    cum = joined.select(
+        "part",
+        F.sum("p").over(w).alias("cp"),
+        F.sum("q").over(w).alias("cq"),
+    )
+    return (
+        cum.groupBy("part")
+        .agg(F.sum(F.abs(F.col("cp") - F.col("cq"))).alias("w1"))
+        .select("part", F.lit(dim).alias("dim"), "w1")
+    )
+
+
 def drift_violations(
     turns: DataFrame,
     baseline: DataFrame,
@@ -213,3 +257,46 @@ def drift_violations(
         "part",
     )
     return kl_v.unionByName(chi_v)
+
+
+def novel_entities(
+    df: DataFrame,
+    part_col,
+    entity_col,
+) -> DataFrame:
+    """Per-partition novel-entity rate: of the distinct entities active
+    in each partition, how many appear there for the FIRST time. The
+    categorical-drift family covers shifts in the MIX of known values;
+    this covers the open-vocabulary dimension drift can't — a spike of
+    never-seen conv_ids/users/tools on one ingest day is the classic
+    signature of an upstream id-remap, a replay, or a new traffic
+    source, and is invisible to KL/PSI over a fixed vocabulary.
+
+    Output: (part, active, novel, novel_rate) — one row per partition,
+    ordered axis left to the caller (partitions are usually dates).
+
+    Plan shape: groupBy(entity) min(part) collapses the fact to one row
+    per entity (ONE shuffle keyed by entity — skew-safe: hot entities
+    combine map-side), then groupBy(part) twice on shrinking frames
+    (actives from an entity×part distinct, novels from the first-seen
+    frame) joined on the O(parts) result. The fact is scanned once."""
+    slim = df.select(
+        F.col(part_col).cast("string").alias("part") if isinstance(part_col, str) else part_col.cast("string").alias("part"),
+        F.col(entity_col).alias("entity") if isinstance(entity_col, str) else entity_col.alias("entity"),
+    ).where(F.col("entity").isNotNull())
+    per_entity_part = slim.groupBy("entity", "part").agg(F.count(F.lit(1)).alias("_n"))
+    first_seen = per_entity_part.groupBy("entity").agg(F.min("part").alias("part"))
+    active = per_entity_part.groupBy("part").agg(
+        F.count(F.lit(1)).alias("active")
+    )
+    novel = first_seen.groupBy("part").agg(F.count(F.lit(1)).alias("novel"))
+    return (
+        active.join(novel, "part", "left")
+        .withColumn("novel", F.coalesce(F.col("novel"), F.lit(0)))
+        .select(
+            "part",
+            F.col("active").cast("bigint").alias("active"),
+            F.col("novel").cast("bigint").alias("novel"),
+            F.round(F.col("novel") / F.col("active"), 6).alias("novel_rate"),
+        )
+    )

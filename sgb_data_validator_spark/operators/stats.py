@@ -197,3 +197,57 @@ def robust_outliers(
     return scored.where(F.abs(F.col("robust_z")) > k).select(
         "id", "grp", "x", "med", "mad", "robust_z"
     )
+
+
+def rate_pchart(
+    df: DataFrame,
+    part_col: str,
+    flag_col,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-partition defect-rate control chart (Shewhart p-chart) over a
+    boolean flag — the statistical-process-control layer the verdict
+    report lacks: a fixed violation-count threshold can't tell "this
+    partition is 4× larger so it has 4× the violations" from "this
+    partition's violation RATE broke from the process". The p-chart
+    compares each partition's rate p_i against the pooled rate p̄ with
+    binomial control limits p̄ ± k·sqrt(p̄(1−p̄)/n_i) — limits tighten
+    automatically on large partitions and loosen on small ones, so one
+    k works across wildly uneven partition sizes (exactly the Zipf-day
+    shape the north star's ingest has).
+
+    Output: one row per partition (part, n, defects, rate, pooled_rate,
+    z, status) where z is the binomial z-score and status ∈
+    {IN_CONTROL, OUT_OF_CONTROL}.
+
+    Plan shape: ONE map-side-combined groupBy(part) over the fact (the
+    flag is computed in-scan), then the pooled rate as an in-plan window
+    total over the O(parts) frame — the fact is scanned once and never
+    re-shuffled; no driver-side count, no second pass (the r3 drift
+    double-scan lesson applied from birth)."""
+    flag = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    per = df.groupBy(F.col(part_col).cast("string").alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag.cast("int")).alias("defects"),
+    )
+    everything = Window.partitionBy()
+    pooled = per.withColumn(
+        "pooled_rate",
+        F.sum("defects").over(everything) / F.sum("n").over(everything),
+    )
+    rate = F.col("defects") / F.col("n")
+    sigma = F.sqrt(
+        F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
+    )
+    z = (rate - F.col("pooled_rate")) / sigma
+    return pooled.select(
+        "part",
+        "n",
+        "defects",
+        F.round(rate, 6).alias("rate"),
+        F.round("pooled_rate", 6).alias("pooled_rate"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > k, F.lit("OUT_OF_CONTROL"))
+        .otherwise(F.lit("IN_CONTROL"))
+        .alias("status"),
+    )

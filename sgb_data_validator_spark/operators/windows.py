@@ -266,3 +266,101 @@ def role_structure_violations(
         tool_role_consistency(tool_roles=tool_roles)
     ).violations(turns)
     return opening_role_violations(turns, opening_roles).unionByName(stray_tool)
+
+
+def role_transitions(turns: DataFrame, smoothing: float = 0.0) -> DataFrame:
+    """Global role-transition (Markov bigram) matrix over the transcript:
+    one row per observed (prev_role, role) pair with its count and the
+    conditional probability P(role | prev_role). The transcript-native
+    structural profile — a healthy agent corpus has a characteristic
+    matrix (user→assistant heavy, tool→tool rare), and downstream
+    :func:`transition_surprise` scores conversations against it.
+
+    Bigram extraction is an equi-join of the narrow (conv_id, turn_idx,
+    role) projection with itself on (conv_id, turn_idx) = (conv_id,
+    turn_idx + 1). The join key INCLUDES turn_idx, so the Zipf-hot
+    conversation spreads over ~n/parallelism keys instead of landing in
+    one window-sort task — bigrams over a skewed corpus without the
+    chunked-carry machinery sequence_violations needs (which must see
+    GAPS; bigrams by definition only pair adjacent dense indices).
+
+    Precondition: dense contiguous ``turn_idx`` (run the contiguity
+    rule first — its violations mark exactly the conversations whose
+    bigrams would be incomplete here).
+
+    Plan shape: one shuffle for the self-join keyed by (conv_id,
+    turn_idx), one map-side-combined groupBy on (prev_role, role) —
+    O(roles²) rows out — and the conditional denominator as an in-plan
+    window over that tiny frame. The text payload never enters either
+    shuffle."""
+    slim = turns.select("conv_id", "turn_idx", "role")
+    nxt = slim.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("next_role"),
+    )
+    pairs = slim.join(nxt, ["conv_id", "turn_idx"]).select(
+        F.col("role").alias("prev_role"), F.col("next_role").alias("role")
+    )
+    counts = pairs.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    denom = Window.partitionBy("prev_role")
+    return counts.select(
+        "prev_role",
+        "role",
+        "n",
+        (
+            (F.col("n") + F.lit(smoothing))
+            / (F.sum("n").over(denom) + F.lit(smoothing))
+        ).alias("p"),
+    )
+
+
+def transition_surprise(
+    turns: DataFrame,
+    transitions: DataFrame | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Per-conversation Markov surprise: the mean −ln P(role | prev_role)
+    of a conversation's role bigrams under the global (or a supplied
+    baseline) transition matrix — conversations whose structure is
+    improbable under the corpus's own dynamics score high, catching
+    shapes no single row rule sees (an assistant answering itself ten
+    times, a tool loop, role-label corruption confined to one
+    conversation). Output: (conv_id, n_bigrams, surprise), surprise in
+    nats per bigram; rank or threshold downstream.
+
+    ``transitions`` defaults to :func:`role_transitions` over the same
+    frame (self-referential scoring — anomalies vs the corpus itself);
+    pass a PREVIOUS run's matrix for drift-style scoring of new data
+    against history. Transitions absent from the matrix cost
+    −ln(epsilon) — a never-before-seen bigram dominates the
+    conversation's score, as it should.
+
+    Plan shape: the bigram self-join (keys include turn_idx — skew-safe,
+    see :func:`role_transitions`), a BROADCAST join against the
+    O(roles²) matrix, and one map-side-combined groupBy(conv_id). Two
+    scans of the narrow projection when the matrix is self-derived (one
+    to build the matrix, one to score); at 10^12 rows persist the slim
+    frame or pass a precomputed matrix to make it one."""
+    if transitions is None:
+        transitions = role_transitions(turns)
+    slim = turns.select("conv_id", "turn_idx", "role")
+    nxt = slim.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("next_role"),
+    )
+    pairs = slim.join(nxt, ["conv_id", "turn_idx"]).select(
+        "conv_id", F.col("role").alias("prev_role"), F.col("next_role").alias("role")
+    )
+    scored = pairs.join(
+        F.broadcast(transitions.select("prev_role", "role", "p")),
+        ["prev_role", "role"],
+        "left",
+    ).withColumn("p", F.coalesce(F.col("p"), F.lit(epsilon)))
+    return scored.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(-F.log("p")).alias("surprise"),
+    )

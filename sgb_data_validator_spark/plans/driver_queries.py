@@ -653,6 +653,7 @@ from sgb_data_validator_spark.plans.temporal_queries import TEMPORAL_QUERIES  # 
 from sgb_data_validator_spark.plans.corpus_queries import CORPUS_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.packing_queries import PACKING_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.analysis_queries import ANALYSIS_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.monitor_queries import MONITOR_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
@@ -660,6 +661,7 @@ QUERIES.update(TEMPORAL_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(PACKING_QUERIES)
 QUERIES.update(ANALYSIS_QUERIES)
+QUERIES.update(MONITOR_QUERIES)
 
 # ---------------------------------------------------------------- ordering
 #
@@ -689,8 +691,13 @@ _DRIVER_FRONT = [
     # kmeans_train, summary, pivot, verdicts, row_rules, unique) is
     # already inside the window
     "token_count_bpe", "drift_js", "length_outliers",
-    "temperature_sample", "semantic_dedup", "quality_gate", "mix_report",
-    "volume_anomaly", "boilerplate_ngrams", "perplexity_unigram",
+    # r5 batch 2 (monitoring / conversation structure): these five take
+    # the slots of temperature_sample / semantic_dedup / quality_gate /
+    # mix_report / volume_anomaly — all r4 hash-green, unchanged in r5,
+    # still in the local gate
+    "drift_w1", "violation_pchart", "role_transitions", "conv_surprise",
+    "novel_entities",
+    "boilerplate_ngrams", "perplexity_unigram",
     "stats_hll", "iconclass_parts",
     "sessionize",
     "top_values", "stratified_sample",

@@ -1,0 +1,289 @@
+"""Round-5 monitoring / conversation-structure queries: Wasserstein
+drift, the violation-rate p-chart, the role-transition matrix and
+per-conversation Markov surprise, and per-partition novel-entity rates.
+
+Same driver contract as every other plans module: each query is a
+(callable, oracle-SQL) pair over the driver testdata tables, every
+computed column aliased identically on both sides, counts cast bigint,
+floats rounded 4-6 dp (see plans/driver_queries.py's conventions
+docstring). Transcript-shaped inputs are projected from `events` the
+same deterministic way q_role_structure does (row_number per user), so
+these queries prove the operators without synthesizing external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _turns(ev: DataFrame) -> DataFrame:
+    """The canonical events→transcript projection (matches
+    q_role_structure / SQL_ROLE_STRUCTURE): conv per user, dense
+    turn_idx by (ts, event_id), role = event_type."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+    )
+
+
+_SQL_TURNS = """
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role
+  FROM events
+"""
+
+
+# ------------------------------------------------------------- drift: W1
+
+def q_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-Wasserstein (earth-mover) drift of the hour-of-day
+    histogram per day vs the global mix
+    (operators/drift.py:wasserstein) — the total-displacement member of
+    the ordered-axis drift pair: KS reports the worst CDF gap, W1 the
+    transported mass × distance in units of buckets, so a broad gentle
+    shift of the whole day's traffic registers even when no single
+    hour's gap is large. Global baseline computed in-plan (window over
+    grouped counts), single fact scan — same shape as q_drift_ks."""
+    from sgb_data_validator_spark.operators.drift import wasserstein
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("part"), "ts")
+    baseline = (
+        t.groupBy(F.hour("ts").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("ts_hour_bucket").alias("dim"),
+            "value",
+            (F.col("_n") / F.sum("_n").over(Window.partitionBy())).alias("freq"),
+        )
+    )
+    return wasserstein(t, baseline).select("part", F.round("w1", 6).alias("w1"))
+
+
+SQL_DRIFT_W1 = """
+WITH q AS (
+  SELECT cast(hour(ts) AS varchar) AS value,
+         count(*) / cast(sum(count(*)) OVER () AS double) AS q
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, cast(hour(ts) AS varchar) AS value,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS double) AS p
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT part, value, q FROM (SELECT DISTINCT part FROM p) CROSS JOIN q
+), j AS (
+  SELECT coalesce(g.part, p.part) AS part, coalesce(g.value, p.value) AS value,
+         coalesce(p.p, 0.0) AS p, coalesce(g.q, 0.0) AS q
+  FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
+), c AS (
+  SELECT part,
+         sum(p) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cp,
+         sum(q) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cq
+  FROM j
+)
+SELECT part, round(sum(abs(cp - cq)), 6) AS w1 FROM c GROUP BY part
+"""
+
+
+# -------------------------------------------------------------- p-chart
+
+def q_violation_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over per-day vocab-violation rates
+    (operators/stats.py:rate_pchart): each day's rate of out-of-vocab
+    event_type rows vs the pooled rate with binomial 3σ control limits
+    that tighten on big days and loosen on small ones — the verdict
+    report's fixed-threshold complement. One map-side-combined
+    groupBy(day) over the fact, pooled rate as an in-plan window over
+    the O(days) frame."""
+    from sgb_data_validator_spark.operators.stats import rate_pchart
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    ev = _t(spark, sf_dir, "events")
+    flag = ~F.col("event_type").isin(*EVENT_TYPES)
+    return rate_pchart(
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("part"), "event_type"),
+        "part",
+        flag,
+        k=3.0,
+    ).select(
+        "part",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("defects").cast("bigint").alias("defects"),
+        "rate",
+        "pooled_rate",
+        "z",
+        "status",
+    )
+
+
+def _sql_violation_pchart() -> str:
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    vocab = ", ".join(repr(x) for x in EVENT_TYPES)
+    return f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS defects
+  FROM events GROUP BY 1
+), pooled AS (
+  SELECT part, n, defects,
+         sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
+  FROM per
+)
+SELECT part, n, defects,
+       round(defects / cast(n AS double), 6) AS rate,
+       round(pooled_rate, 6) AS pooled_rate,
+       round((defects / cast(n AS double) - pooled_rate)
+             / sqrt(pooled_rate * (1 - pooled_rate) / n), 4) AS z,
+       CASE WHEN abs((defects / cast(n AS double) - pooled_rate)
+                     / sqrt(pooled_rate * (1 - pooled_rate) / n)) > 3.0
+            THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
+FROM pooled
+"""
+
+
+SQL_VIOLATION_PCHART = _sql_violation_pchart()
+
+
+# ----------------------------------------------------- role transitions
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global role-transition (Markov bigram) matrix over the
+    events→transcript projection (operators/windows.py:
+    role_transitions): one row per (prev_role, role) with count and
+    P(role | prev_role). Bigrams come from a self-join keyed by
+    (conv_id, turn_idx) — skew-safe because the key includes turn_idx —
+    then one map-side-combined groupBy to O(roles²) rows."""
+    from sgb_data_validator_spark.operators.windows import role_transitions
+
+    turns = _turns(_t(spark, sf_dir, "events"))
+    return role_transitions(turns).select(
+        "prev_role",
+        "role",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("p", 6).alias("p"),
+    )
+
+
+SQL_ROLE_TRANSITIONS = f"""
+WITH turns AS ({_SQL_TURNS}),
+pairs AS (
+  SELECT a.role AS prev_role, b.role AS role
+  FROM turns a JOIN turns b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+),
+counts AS (
+  SELECT prev_role, role, cast(count(*) AS bigint) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT prev_role, role, n,
+       round(n / cast(sum(n) OVER (PARTITION BY prev_role) AS double), 6) AS p
+FROM counts
+"""
+
+
+def q_conv_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Markov surprise (operators/windows.py:
+    transition_surprise): mean −ln P(role | prev_role) of each
+    conversation's bigrams under the corpus's own transition matrix —
+    conversations with improbable structure (loops, self-replies,
+    corrupted role labels) score high though every row passes the row
+    rules. Only conversations ≥ 2σ above the corpus mean surface (the
+    actionable anomaly set, not a full per-conv dump)."""
+    from sgb_data_validator_spark.operators.windows import transition_surprise
+
+    turns = _turns(_t(spark, sf_dir, "events"))
+    scored = transition_surprise(turns)
+    stats = Window.partitionBy()
+    return (
+        scored.withColumn("mu", F.avg("surprise").over(stats))
+        .withColumn("sd", F.stddev_samp("surprise").over(stats))
+        .where(F.col("surprise") > F.col("mu") + 2.0 * F.col("sd"))
+        .select(
+            "conv_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round("surprise", 6).alias("surprise"),
+        )
+    )
+
+
+SQL_CONV_SURPRISE = f"""
+WITH turns AS ({_SQL_TURNS}),
+pairs AS (
+  SELECT a.conv_id, a.role AS prev_role, b.role AS role
+  FROM turns a JOIN turns b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+),
+matrix AS (
+  SELECT prev_role, role,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY prev_role) AS double) AS p
+  FROM pairs GROUP BY 1, 2
+),
+scored AS (
+  SELECT pr.conv_id,
+         cast(count(*) AS bigint) AS n_bigrams,
+         avg(-ln(m.p)) AS surprise
+  FROM pairs pr JOIN matrix m
+    ON pr.prev_role = m.prev_role AND pr.role = m.role
+  GROUP BY 1
+),
+stats AS (
+  SELECT conv_id, n_bigrams, surprise,
+         avg(surprise) OVER () AS mu, stddev_samp(surprise) OVER () AS sd
+  FROM scored
+)
+SELECT conv_id, n_bigrams, round(surprise, 6) AS surprise
+FROM stats WHERE surprise > mu + 2.0 * sd
+"""
+
+
+# ------------------------------------------------------- novel entities
+
+def q_novel_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day novel-entity rate (operators/drift.py:novel_entities):
+    of the distinct users active each day, how many appear for the
+    first time — the open-vocabulary drift signal KL/PSI over a fixed
+    vocabulary cannot see (id remaps, replays, new traffic sources).
+    One entity-keyed shuffle collapses the fact; everything after runs
+    on O(entities) then O(days) frames."""
+    from sgb_data_validator_spark.operators.drift import novel_entities
+
+    ev = _t(spark, sf_dir, "events")
+    return novel_entities(
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("part"), "user_id"),
+        "part",
+        "user_id",
+    )
+
+
+SQL_NOVEL_ENTITIES = """
+WITH per AS (
+  SELECT user_id AS entity, strftime(ts, '%Y-%m-%d') AS part
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+first_seen AS (SELECT entity, min(part) AS part FROM per GROUP BY 1),
+active AS (SELECT part, cast(count(*) AS bigint) AS active FROM per GROUP BY 1),
+novel AS (SELECT part, cast(count(*) AS bigint) AS novel FROM first_seen GROUP BY 1)
+SELECT a.part, a.active,
+       cast(coalesce(n.novel, 0) AS bigint) AS novel,
+       round(coalesce(n.novel, 0) / cast(a.active AS double), 6) AS novel_rate
+FROM active a LEFT JOIN novel n ON a.part = n.part
+"""
+
+
+MONITOR_QUERIES: dict[str, tuple] = {
+    "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
+    "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
+    "role_transitions": (q_role_transitions, SQL_ROLE_TRANSITIONS),
+    "conv_surprise": (q_conv_surprise, SQL_CONV_SURPRISE),
+    "novel_entities": (q_novel_entities, SQL_NOVEL_ENTITIES),
+}

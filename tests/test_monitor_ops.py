@@ -1,0 +1,146 @@
+"""Round-5 monitoring / structure operators: Wasserstein drift,
+rate_pchart, role transitions + Markov surprise, novel entities —
+hand-computed truths on constructed frames."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators.drift import novel_entities, wasserstein
+from sgb_data_validator_spark.operators.stats import rate_pchart
+from sgb_data_validator_spark.operators.windows import (
+    role_transitions,
+    transition_surprise,
+)
+
+
+def _baseline(spark, freqs, dim="ts_hour_bucket"):
+    return spark.createDataFrame(
+        [(dim, str(v), f) for v, f in freqs.items()],
+        "dim string, value string, freq double",
+    )
+
+
+def test_wasserstein_unit_shift(spark):
+    """All mass shifted one bucket later ⇒ W1 = 1.0 exactly (the case
+    KS underweights: its max single gap here is only 0.5)."""
+    # baseline: uniform over buckets 0,1 ; partition: uniform over 1,2
+    baseline = _baseline(spark, {0: 0.5, 1: 0.5})
+    turns = spark.createDataFrame(
+        [("d1", "1"), ("d1", "2")], "part string, v string"
+    )
+    got = wasserstein(turns, baseline, value_col=F.col("v")).collect()
+    assert len(got) == 1
+    assert abs(got[0].w1 - 1.0) < 1e-12
+
+
+def test_wasserstein_zero_on_identical(spark):
+    baseline = _baseline(spark, {0: 0.5, 1: 0.5})
+    turns = spark.createDataFrame(
+        [("d1", "0"), ("d1", "1")], "part string, v string"
+    )
+    got = wasserstein(turns, baseline, value_col=F.col("v")).collect()
+    assert abs(got[0].w1) < 1e-12
+
+
+def test_rate_pchart_limits_scale_with_n(spark):
+    """Pooled rate 0.1 over 10_000 rows; a small day at 3/10 (rate 0.3)
+    stays IN control (wide limits at n=10) while a big day at the same
+    absolute deviation rate on n=5000 goes OUT — the p-chart property a
+    fixed threshold lacks."""
+    rows = []
+    # big day A: 5000 rows, 650 defects (rate 0.13)
+    rows += [("A", i < 650) for i in range(5000)]
+    # big day B: 4990 rows, 347 defects (keeps pooled ≈ 0.1)
+    rows += [("B", i < 347) for i in range(4990)]
+    # small day C: 10 rows, 3 defects (rate 0.3)
+    rows += [("C", i < 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "part string, bad boolean")
+    got = {r.part: r for r in rate_pchart(df, "part", F.col("bad"), k=3.0).collect()}
+    pooled = (650 + 347 + 3) / 10000.0
+    assert abs(got["A"].pooled_rate - round(pooled, 6)) < 1e-9
+    # hand z for A: (0.13 - 0.1) / sqrt(0.1*0.9/5000)
+    z_a = (650 / 5000 - pooled) / math.sqrt(pooled * (1 - pooled) / 5000)
+    assert abs(got["A"].z - round(z_a, 4)) < 1e-9
+    assert got["A"].status == "OUT_OF_CONTROL"
+    z_c = (3 / 10 - pooled) / math.sqrt(pooled * (1 - pooled) / 10)
+    assert abs(z_c) < 3.0  # the small day is inside its (wide) limits
+    assert got["C"].status == "IN_CONTROL"
+
+
+def _turns(spark, convs):
+    rows = [
+        (cid, i, role)
+        for cid, roles in convs.items()
+        for i, role in enumerate(roles)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+def test_role_transitions_probabilities(spark):
+    turns = _turns(
+        spark,
+        {
+            "c1": ["user", "assistant", "user", "assistant"],
+            "c2": ["user", "assistant", "tool"],
+        },
+    )
+    got = {
+        (r.prev_role, r.role): (r.n, r.p) for r in role_transitions(turns).collect()
+    }
+    # bigrams: u→a ×3, a→u ×1, a→t ×1
+    assert got[("user", "assistant")] == (3, 1.0)
+    assert got[("assistant", "user")][0] == 1 and abs(got[("assistant", "user")][1] - 0.5) < 1e-12
+    assert got[("assistant", "tool")][0] == 1
+    # conditional rows sum to 1 per prev_role
+    sums = {}
+    for (prev, _), (_, p) in got.items():
+        sums[prev] = sums.get(prev, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_transition_surprise_flags_unseen_bigram(spark):
+    """A conversation containing a bigram the matrix lacks scores near
+    −ln(epsilon), dominating every normal conversation."""
+    turns = _turns(
+        spark,
+        {f"c{i}": ["user", "assistant", "user", "assistant"] for i in range(5)},
+    )
+    weird = _turns(spark, {"cw": ["assistant", "assistant"]})
+    matrix = role_transitions(turns)
+    scored = {
+        r.conv_id: r.surprise
+        for r in transition_surprise(
+            turns.unionByName(weird), transitions=matrix
+        ).collect()
+    }
+    assert scored["cw"] > 10.0  # -ln(1e-6) ≈ 13.8
+    assert all(v < 1.0 for k, v in scored.items() if k != "cw")
+
+
+def test_transition_surprise_self_matrix(spark):
+    """Self-derived matrix: a perfectly regular corpus has uniform
+    (low) surprise for every conversation."""
+    turns = _turns(
+        spark, {f"c{i}": ["user", "assistant", "user"] for i in range(4)}
+    )
+    got = transition_surprise(turns).collect()
+    assert len(got) == 4
+    vals = {round(r.surprise, 9) for r in got}
+    assert len(vals) == 1  # identical structure ⇒ identical score
+
+
+def test_novel_entities_first_seen(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", 1), ("d1", 2),             # both new on d1
+            ("d2", 1), ("d2", 3),             # 3 is new, 1 returning
+            ("d3", 1), ("d3", 2), ("d3", 3),  # nothing new
+        ],
+        "part string, uid int",
+    )
+    got = {r.part: r for r in novel_entities(df, "part", "uid").collect()}
+    assert (got["d1"].active, got["d1"].novel) == (2, 2)
+    assert (got["d2"].active, got["d2"].novel) == (2, 1)
+    assert (got["d3"].active, got["d3"].novel) == (3, 0)
+    assert abs(got["d2"].novel_rate - 0.5) < 1e-12
