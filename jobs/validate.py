@@ -14,7 +14,7 @@ Package with: ``cd repo && zip -r engine.zip sgb_data_validator_spark``.
 Behavior (mirrors the reference CLI contract, validate.py:1051-1192):
 * validates the selected partitions (all, explicit --parts, or the
   ledger's pending set with --resume),
-* writes violations/verdicts/summary/pivot/stats under --out,
+* writes violations/verdicts/summary/pivot/stats/spc under --out,
 * appends one ledger row per partition (status, stats digest, lineage,
   rows/sec),
 * exits 1 iff any error-severity violation exists (reference exit-code

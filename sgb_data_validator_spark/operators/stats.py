@@ -230,6 +230,16 @@ def rate_pchart(
         F.count(F.lit(1)).alias("n"),
         F.sum(flag.cast("int")).alias("defects"),
     )
+    return pchart_from_counts(per, k=k)
+
+
+def pchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
+    """p-chart core over a PRE-AGGREGATED (part, n, defects) frame —
+    binomial proportion limits; defects must be ≤ n (one flag per row).
+    The frame is O(parts) rows, so every window here is a
+    single-partition exchange of a few dozen rows; callers that already
+    hold per-partition counts (the validation pipeline's stats artifact)
+    pay ZERO additional fact scans."""
     everything = Window.partitionBy()
     pooled = per.withColumn(
         "pooled_rate",
@@ -246,6 +256,34 @@ def rate_pchart(
         "defects",
         F.round(rate, 6).alias("rate"),
         F.round("pooled_rate", 6).alias("pooled_rate"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > k, F.lit("OUT_OF_CONTROL"))
+        .otherwise(F.lit("IN_CONTROL"))
+        .alias("status"),
+    )
+
+
+def uchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
+    """u-chart (Poisson defects-per-unit) over a pre-aggregated (part,
+    n, defects) frame — the p-chart's sibling for UNBOUNDED counts:
+    several violations can fire on one turn, so violations-per-turn is
+    a Poisson rate (can exceed 1), not a binomial proportion, and the
+    correct limits are ū ± k·sqrt(ū/n_i) with ū = Σdefects/Σn. Same
+    O(parts) in-plan window shape as pchart_from_counts."""
+    everything = Window.partitionBy()
+    pooled = per.withColumn(
+        "u_bar",
+        F.sum("defects").over(everything) / F.sum("n").over(everything),
+    )
+    u = F.col("defects") / F.col("n")
+    sigma = F.sqrt(F.col("u_bar") / F.col("n"))
+    z = (u - F.col("u_bar")) / sigma
+    return pooled.select(
+        "part",
+        "n",
+        "defects",
+        F.round(u, 6).alias("rate"),
+        F.round("u_bar", 6).alias("u_bar"),
         F.round(z, 4).alias("z"),
         F.when(F.abs(z) > k, F.lit("OUT_OF_CONTROL"))
         .otherwise(F.lit("IN_CONTROL"))

@@ -691,13 +691,13 @@ _DRIVER_FRONT = [
     # kmeans_train, summary, pivot, verdicts, row_rules, unique) is
     # already inside the window
     "token_count_bpe", "drift_js", "length_outliers",
-    # r5 batch 2 (monitoring / conversation structure): these five take
+    # r5 batch 2 (monitoring / conversation structure): these six take
     # the slots of temperature_sample / semantic_dedup / quality_gate /
-    # mix_report / volume_anomaly — all r4 hash-green, unchanged in r5,
-    # still in the local gate
+    # mix_report / volume_anomaly / boilerplate_ngrams — all r4
+    # hash-green, unchanged in r5, still in the local gate
     "drift_w1", "violation_pchart", "role_transitions", "conv_surprise",
-    "novel_entities",
-    "boilerplate_ngrams", "perplexity_unigram",
+    "novel_entities", "violation_uchart",
+    "perplexity_unigram",
     "stats_hll", "iconclass_parts",
     "sessionize",
     "top_values", "stratified_sample",

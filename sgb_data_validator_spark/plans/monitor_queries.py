@@ -280,9 +280,68 @@ FROM active a LEFT JOIN novel n ON a.part = n.part
 """
 
 
+def q_violation_uchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u-chart over per-day violation COUNTS per row
+    (operators/stats.py:uchart_from_counts) — the Poisson sibling the
+    engine's spc_report uses: several rules can fire on one row, so
+    the rate is unbounded and binomial p-chart limits would be wrong.
+    Here: rows-with-out-of-vocab event_type PLUS rows-with-negative
+    value per day over the day's row count — two rules, so a row can
+    carry up to two defects, exactly the shape that needs u not p."""
+    from sgb_data_validator_spark.operators.stats import uchart_from_counts
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    ev = _t(spark, sf_dir, "events")
+    vocab_bad = (~F.col("event_type").isin(*EVENT_TYPES)).cast("int")
+    neg_bad = (F.col("value") < 0).cast("int")
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vocab_bad + neg_bad).alias("defects"),
+    )
+    return uchart_from_counts(per, k=3.0).select(
+        "part",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("defects").cast("bigint").alias("defects"),
+        "rate",
+        "u_bar",
+        "z",
+        "status",
+    )
+
+
+def _sql_violation_uchart() -> str:
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    vocab = ", ".join(repr(x) for x in EVENT_TYPES)
+    return f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         cast(sum((CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END)
+                + (CASE WHEN value < 0 THEN 1 ELSE 0 END)) AS bigint) AS defects
+  FROM events GROUP BY 1
+), pooled AS (
+  SELECT part, n, defects,
+         sum(defects) OVER () / cast(sum(n) OVER () AS double) AS u_bar
+  FROM per
+)
+SELECT part, n, defects,
+       round(defects / cast(n AS double), 6) AS rate,
+       round(u_bar, 6) AS u_bar,
+       round((defects / cast(n AS double) - u_bar) / sqrt(u_bar / n), 4) AS z,
+       CASE WHEN abs((defects / cast(n AS double) - u_bar) / sqrt(u_bar / n)) > 3.0
+            THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
+FROM pooled
+"""
+
+
+SQL_VIOLATION_UCHART = _sql_violation_uchart()
+
+
 MONITOR_QUERIES: dict[str, tuple] = {
     "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
     "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
+    "violation_uchart": (q_violation_uchart, SQL_VIOLATION_UCHART),
     "role_transitions": (q_role_transitions, SQL_ROLE_TRANSITIONS),
     "conv_surprise": (q_conv_surprise, SQL_CONV_SURPRISE),
     "novel_entities": (q_novel_entities, SQL_NOVEL_ENTITIES),

@@ -237,5 +237,35 @@ def pivot_report(violations: DataFrame, rule_ids: list[str] | None = None) -> Da
     return p.agg(F.max("offending_value")).orderBy("conv_id", "turn_idx")
 
 
+def spc_report(result: ValidationResult, k: float = 3.0) -> DataFrame:
+    """Statistical-process-control layer over the run: a u-chart
+    (Poisson violations-per-turn; several rules can fire on one turn,
+    so the rate is unbounded and binomial p-chart limits would be
+    wrong) flagging partitions whose violation RATE broke from the
+    run's own process — the complement of compute_verdicts' absolute
+    pass/fail: a verdict says "this partition has errors", the SPC
+    status says "this partition is anomalous RELATIVE to the others",
+    with limits that tighten on big partitions and loosen on small ones
+    (operators/stats.py:uchart_from_counts).
+
+    ZERO additional fact scans: per-partition turn counts come from the
+    stats artifact (column_stats' ``n`` is the partition row count,
+    identical on every column row) and defect counts from the
+    violations frame — both already computed by validate()."""
+    n = result.stats.groupBy("part").agg(F.max("n").alias("n"))
+    defects = (
+        result.violations.where(F.col("part").isNotNull())
+        .groupBy(F.col("part").cast("string").alias("part"))
+        .agg(F.count(F.lit(1)).alias("defects"))
+    )
+    per = (
+        n.join(defects, "part", "left")
+        .withColumn("defects", F.coalesce(F.col("defects"), F.lit(0)))
+    )
+    from sgb_data_validator_spark.operators.stats import uchart_from_counts
+
+    return uchart_from_counts(per, k=k)
+
+
 def digest_for_ledger(result: ValidationResult) -> DataFrame:
     return stats_digest(result.stats)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from sgb_data_validator_spark.plans.pipeline import (
     ValidationResult,
     pivot_report,
+    spc_report,
     summary_report,
 )
 
@@ -71,6 +72,14 @@ def write_stats(stats: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_spc_csv(result: ValidationResult, path: str, mode: str = "overwrite") -> None:
+    """u-chart SPC statuses per partition (plans/pipeline.py:spc_report)
+    — O(parts) rows, single CSV like the other console-report analogs;
+    derived entirely from the stats + violations frames already in the
+    result, so this sink adds no fact scan to the run."""
+    spc_report(result).coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
 def write_all(result: ValidationResult, base: str) -> None:
     """The full report fan-out of a validation run (reference
     validate.py:1180-1189 writes console+txt+csv+profiling; here each
@@ -82,3 +91,4 @@ def write_all(result: ValidationResult, base: str) -> None:
     write_summary_csv(result.violations, f"{base}/summary_csv")
     write_pivot_csv(result.violations, f"{base}/pivot_csv")
     write_stats(result.stats, f"{base}/stats")
+    write_spc_csv(result, f"{base}/spc_csv")

