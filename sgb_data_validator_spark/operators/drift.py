@@ -112,6 +112,17 @@ def js_divergence(
     reduction."""
     value_col = value_col if value_col is not None else F.col(dim)
     p = categorical_freqs(turns, dim, value_col).select("part", "value", "p")
+    return js_divergence_from_freqs(p, baseline, dim)
+
+
+def js_divergence_from_freqs(
+    p: DataFrame, baseline: DataFrame, dim: str
+) -> DataFrame:
+    """JS core over a PRE-NORMALIZED (part, value, p) frequency frame —
+    the shared math :func:`js_divergence` (batch, from raw rows) and the
+    streaming drift monitor (from finalized windowed counts) both
+    delegate to, so batch/stream parity is by construction: same grid,
+    same ε-smoothing, same reduction."""
     q = baseline.where(F.col("dim") == dim).select("value", F.col("freq").alias("q"))
     grid = p.select("part").distinct().crossJoin(F.broadcast(q))
     joined = (

@@ -696,8 +696,9 @@ _DRIVER_FRONT = [
     # mix_report / volume_anomaly / boilerplate_ngrams — all r4
     # hash-green, unchanged in r5, still in the local gate
     "drift_w1", "violation_pchart", "role_transitions", "conv_surprise",
-    "novel_entities", "violation_uchart",
-    "perplexity_unigram",
+    "novel_entities", "violation_uchart", "streaming_drift",
+    # (perplexity_unigram/boilerplate_ngrams rotated out with the five
+    # named above — r4 hash-green, unchanged)
     "stats_hll", "iconclass_parts",
     "sessionize",
     "top_values", "stratified_sample",

@@ -338,6 +338,84 @@ FROM pooled
 SQL_VIOLATION_UCHART = _sql_violation_uchart()
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/incremental.py:
+    run_drift_monitor): events streamed with availableNow through a
+    watermarked per-(1-day window, event_type) count, each CLOSED
+    window scored with the batch JS math in foreachBatch against the
+    global-mix baseline, alerts sunk exactly-once. threshold=-1 emits
+    every closed window so the oracle is plain per-day JS. The batch
+    twin excludes the LAST day — its window end is still ahead of the
+    final watermark (max ts − 2 h), so append mode withholds it by the
+    documented lateness contract."""
+    import tempfile
+
+    from sgb_data_validator_spark.streaming.incremental import (
+        run_drift_monitor,
+        stream_turns,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sgb_stream_drift_")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.lit("t").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+    ).write.mode("overwrite").parquet(f"{tmp}/in")
+    baseline = (
+        ev.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.lit("role").alias("dim"),
+            "value",
+            (F.col("_n") / F.sum("_n").over(Window.partitionBy())).alias("freq"),
+        )
+    )
+    query = run_drift_monitor(
+        stream_turns(spark, f"{tmp}/in"),
+        baseline,
+        out_path=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+        dim="role",
+        window="1 day",
+        watermark="2 hours",
+        threshold=-1.0,
+    )
+    query.awaitTermination()
+    return spark.read.schema("part string, dim string, js double").parquet(
+        f"{tmp}/out"
+    ).select("part", "js")
+
+
+SQL_STREAMING_DRIFT = """
+WITH q AS (
+  SELECT event_type AS value,
+         count(*) / cast((SELECT count(*) FROM events) AS double) AS q
+  FROM events GROUP BY 1
+), p AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, event_type AS value,
+         count(*) / cast(sum(count(*)) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS double) AS p
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT part, value, q FROM (SELECT DISTINCT part FROM p) CROSS JOIN q
+), j AS (
+  SELECT coalesce(g.part, p.part) AS part,
+         coalesce(p.p, 1e-6) AS p, coalesce(g.q, 1e-6) AS q
+  FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
+)
+SELECT part,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+               + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js
+FROM j
+WHERE part <> (SELECT max(strftime(ts, '%Y-%m-%d')) FROM events)
+GROUP BY part
+"""
+
+
 MONITOR_QUERIES: dict[str, tuple] = {
     "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
     "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
@@ -345,4 +423,5 @@ MONITOR_QUERIES: dict[str, tuple] = {
     "role_transitions": (q_role_transitions, SQL_ROLE_TRANSITIONS),
     "conv_surprise": (q_conv_surprise, SQL_CONV_SURPRISE),
     "novel_entities": (q_novel_entities, SQL_NOVEL_ENTITIES),
+    "streaming_drift": (q_streaming_drift, SQL_STREAMING_DRIFT),
 }

@@ -25,7 +25,7 @@ Design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sgb_data_validator_spark.operators import rules as R
@@ -292,6 +292,87 @@ def run_available_now(df: DataFrame, out_path: str, checkpoint: str, output_mode
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dim_counts(
+    turns: DataFrame,
+    dim: str = "role",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-(event-time window, value) counts for one
+    categorical dimension — the streaming half of the drift monitor.
+    State is O(windows-in-horizon × |values|) counter cells; in append
+    mode a window's counts emit exactly once, when the watermark passes
+    its end."""
+    return (
+        turns.where(F.col(dim).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col(dim).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("part"),
+            "value",
+            "n",
+        )
+    )
+
+
+def run_drift_monitor(
+    turns: DataFrame,
+    baseline: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    dim: str = "role",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    threshold: float = 0.05,
+):
+    """Streaming distribution-drift monitor: watermarked windowed counts
+    feed the EXACT batch JS math per micro-batch, emitting one alert row
+    (part, dim, js) per finalized window whose Jensen–Shannon divergence
+    vs the broadcast baseline exceeds ``threshold``.
+
+    Split of labor (the streaming-agg + foreachBatch pattern):
+    * the STREAM does the heavy lifting — the per-(window, value) count
+      is the only thing that touches the fact, with watermark-bounded
+      state, and append mode hands each window downstream exactly once;
+    * ``foreachBatch`` then runs the batch-API JS reduction
+      (operators/drift.py:js_divergence_from_freqs — literally the
+      function the batch query calls, so batch/stream parity is by
+      construction) on the O(windows × values) finalized frame and
+      appends alerts exactly-once via the checkpoint.
+
+    A window's alert emits when the watermark passes its end; events
+    later than the watermark never resurrect a finalized window (they
+    are dropped by the streaming agg — the documented lateness
+    contract). The alerts sink is idempotent per window because each
+    window id appears in exactly one micro-batch's output."""
+    from sgb_data_validator_spark.operators.drift import js_divergence_from_freqs
+
+    counts = stream_dim_counts(turns, dim=dim, window=window, watermark=watermark)
+
+    def _finish(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("part")
+        p = batch_df.select(
+            "part", "value", (F.col("n") / F.sum("n").over(w)).alias("p")
+        )
+        alerts = (
+            js_divergence_from_freqs(p, baseline, dim)
+            .where(F.col("js") > threshold)
+            .select("part", "dim", F.round("js", 6).alias("js"))
+        )
+        alerts.write.mode("append").parquet(out_path)
+
+    return (
+        counts.writeStream.foreachBatch(_finish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

@@ -323,3 +323,58 @@ def test_interval_join_production_horizon_drops_late(spark, tmp_path):
     assert {(r.user_id, r.purchase_id) for r in batch.collect()} == {
         (1, 500), (1, 700), (2, 600),
     }
+
+
+def test_stream_drift_monitor_matches_batch_js(spark, tmp_path):
+    """The streaming drift monitor's per-window JS equals the batch
+    js_divergence on the same closed windows, and only the drifted day
+    alerts. The last day's window is withheld (append-mode watermark
+    contract), mirroring stream_windowed_verdicts."""
+    import datetime as dt
+
+    from sgb_data_validator_spark.operators.drift import js_divergence
+
+    # three days: d1/d2 balanced user/assistant, d3 all-assistant
+    # (drifted), d4 sentinel rows that close d3's window
+    rows = []
+    for day, roles in [
+        (1, ["user", "assistant"] * 10),
+        (2, ["user", "assistant"] * 10),
+        (3, ["assistant"] * 20),
+        (4, ["user", "assistant"]),  # sentinel: advances the watermark past d3
+    ]:
+        for i, role in enumerate(roles):
+            rows.append(
+                (f"c{day}", i, role, "t", None, dt.datetime(2026, 1, day, 12, i), f"2026-01-0{day}")
+            )
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(rows, si.TURN_SCHEMA).write.parquet(landing)
+
+    baseline = spark.createDataFrame(
+        [("role", "user", 0.5), ("role", "assistant", 0.5)],
+        "dim string, value string, freq double",
+    )
+    out, ckpt = str(tmp_path / "alerts"), str(tmp_path / "ckptd")
+    q = si.run_drift_monitor(
+        si.stream_turns(spark, landing), baseline, out, ckpt,
+        dim="role", window="1 day", watermark="2 hours", threshold=0.05,
+    )
+    q.awaitTermination(300)
+    got = {r.part: r.js for r in spark.read.parquet(out).collect()}
+    # only the drifted closed day alerts; balanced days are below
+    # threshold and day 4 (open window) is withheld
+    assert set(got) == {"2026-01-03"}
+    # parity: batch js_divergence on the same day
+    turns = spark.read.parquet(landing)
+    want = {
+        r.part: round(r.js, 6)
+        for r in js_divergence(turns, baseline, "role").collect()
+    }
+    assert abs(got["2026-01-03"] - want["2026-01-03"]) < 1e-9
+    # resume: re-running with nothing new appends nothing
+    q2 = si.run_drift_monitor(
+        si.stream_turns(spark, landing), baseline, out, ckpt,
+        dim="role", window="1 day", watermark="2 hours", threshold=0.05,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 1
