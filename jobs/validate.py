@@ -198,12 +198,22 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
     elapsed = time.perf_counter() - t0
 
     if ledger is not None:
-        part_rows = turns.groupBy(F.col("part").cast("string").alias("part")).agg(
-            F.count(F.lit(1)).alias("rows")
-        )
-        ledger.record(
+        # ONE extra scan serves both ledger inputs: the sketch frame's
+        # per-partition aggregation already counts rows, so part_rows is
+        # a projection of it — recording mergeable HLL sketches costs no
+        # pass the ledger wasn't already paying for part_rows
+        from sgb_data_validator_spark.operators.stats import hll_partition_sketches
+        from sgb_data_validator_spark.sources.ledger import SketchStore
+
+        sk = hll_partition_sketches(turns, ["conv_id", "role", "tool"]).localCheckpoint()
+        part_rows = sk.where(F.col("column") == "conv_id").select("part", "rows")
+        run_id = ledger.record(
             result.verdicts, stats_digest(result.stats), part_rows, elapsed, args.lineage
         )
+        # sidecar sketches: the resumable form of the distinct counts —
+        # a later run unions these with its own pending-partition
+        # sketches instead of rescanning validated data
+        SketchStore(spark, f"{args.ledger}_sketches").record(sk, run_id=run_id)
 
     for row in result.verdicts.orderBy("part").collect():
         print(f"{row.part}\t{row.status}\terrors={row.error_count}\twarnings={row.warning_count}")

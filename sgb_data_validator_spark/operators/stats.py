@@ -289,3 +289,55 @@ def uchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
         .otherwise(F.lit("IN_CONTROL"))
         .alias("status"),
     )
+
+
+def hll_partition_sketches(
+    df: DataFrame,
+    columns: list[str],
+    part_col: str = "part",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-(partition, column) MERGEABLE HyperLogLog sketches
+    (Apache DataSketches via ``hll_sketch_agg``) in long format
+    (part, column, rows, sketch:binary) — the resumable form of the
+    profiling pass's distinct counts: ``approx_count_distinct`` gives a
+    partition a NUMBER, which cannot be combined with other partitions'
+    numbers, so any cross-partition distinct question forces a rescan
+    of everything. A stored sketch unions in O(2^lg_k) bytes, so the
+    ledger can answer "global distinct conv_ids across all validated
+    partitions" — including partitions validated by PREVIOUS runs —
+    without touching their data again (:meth:`sources.ledger.Ledger
+    .record_sketches`).
+
+    Plan shape: ONE map-side-combined groupBy(part) computing every
+    column's sketch in the same aggregation (sketches combine
+    associatively, so partial aggregation applies exactly like sum),
+    then an in-projection unpivot — the same single-pass long-format
+    shape as column_stats."""
+    aggs = [F.count(F.lit(1)).alias("_rows")] + [
+        F.hll_sketch_agg(F.col(c).cast("string"), F.lit(lg_k)).alias(f"_sk__{c}")
+        for c in columns
+    ]
+    wide = df.groupBy(F.col(part_col).cast("string").alias("part")).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("rows"),
+            F.col(f"_sk__{c}").alias("sketch"),
+        )
+        for c in columns
+    ]
+    return wide.select("part", F.explode(F.array(*structs)).alias("s")).select(
+        "part", "s.*"
+    )
+
+
+def hll_global_estimates(sketches: DataFrame) -> DataFrame:
+    """(column, distinct_estimate) — union the per-partition sketches
+    per column and estimate. Input is the O(parts × columns) sketch
+    frame, so this never touches the fact; the union is one tiny
+    exchange keyed by column."""
+    return (
+        sketches.groupBy("column")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate"))
+    )

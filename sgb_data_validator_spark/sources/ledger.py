@@ -107,3 +107,72 @@ class Ledger:
         )
         entry.write.mode("append").parquet(self.path)
         return run_id
+
+
+SKETCH_SCHEMA = (
+    "part string, column string, rows long, sketch binary, "
+    "run_id string, run_ts timestamp"
+)
+
+
+class SketchStore:
+    """Sidecar store of per-(partition, column) MERGEABLE HyperLogLog
+    sketches next to the ledger (same append-only / latest-row-wins
+    semantics): the piece that makes DISTINCT COUNTS resumable, not
+    just verdicts. approx_count_distinct stores a number per
+    partition; numbers don't union, so "how many distinct conv_ids
+    across ALL validated partitions" would rescan every partition ever
+    validated. A stored DataSketches sketch unions in O(2^lg_k) bytes
+    — re-submission sketches only the pending partitions
+    (operators/stats.py:hll_partition_sketches) and the global answer
+    is a union over the O(parts × columns) sketch frame, never the
+    fact. On a real deployment this is an Iceberg table like the
+    ledger; the union query is engine-side either way."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(SKETCH_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], SKETCH_SCHEMA)
+
+    def record(self, sketches: DataFrame, run_id: str | None = None) -> str:
+        """Append this run's (part, column, rows, sketch) frame."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        now = time.time()
+        (
+            sketches.select(
+                "part",
+                "column",
+                F.col("rows").cast("long"),
+                "sketch",
+                F.lit(run_id).alias("run_id"),
+                F.timestamp_seconds(F.lit(now)).alias("run_ts"),
+            ).write.mode("append").parquet(self.path)
+        )
+        return run_id
+
+    def latest(self) -> DataFrame:
+        """Latest sketch per (part, column) — same winner rule as the
+        ledger (run_ts desc, run_id desc) so retries and concurrent
+        writers resolve identically in both stores."""
+        w = Window.partitionBy("part", "column").orderBy(
+            F.desc("run_ts"), F.desc("run_id")
+        )
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def global_distinct(self) -> DataFrame:
+        """(column, distinct_estimate) across every partition ever
+        sketched — a union over the tiny sketch frame; no partition's
+        data is re-read."""
+        from sgb_data_validator_spark.operators.stats import hll_global_estimates
+
+        return hll_global_estimates(self.latest())
