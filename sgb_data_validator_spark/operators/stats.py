@@ -291,6 +291,88 @@ def uchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
     )
 
 
+def cusum_from_counts(
+    per: DataFrame,
+    k: float = 0.5,
+    h: float = 4.0,
+    target_rate: float | None = None,
+) -> DataFrame:
+    """Tabular CUSUM change detection over a pre-aggregated, date-ordered
+    (part, n, defects) frame — the sequential complement of the Shewhart
+    p-/u-charts (Page, Biometrika 1954): Shewhart limits catch a single
+    day that jumps ≥3σ, but a process whose violation rate creeps up by
+    ~1σ and STAYS there never trips them; CUSUM accumulates the
+    standardized excursions, so a small persistent shift crosses the
+    decision interval h within a few days (pinned by the
+    shift-vs-spike test in tests/test_monitor_ops.py).
+
+    Recurrences C⁺_i = max(0, C⁺_{i−1} + z_i − k) and
+    C⁻_i = max(0, C⁻_{i−1} − z_i − k) are rewritten in their closed
+    prefix-scan form — with P_i = Σ_{j≤i}(z_j − k) and
+    Q_i = Σ_{j≤i}(z_j + k):
+
+        C⁺_i = P_i − min(0, min_{j≤i} P_j)
+        C⁻_i = max(0, max_{j≤i} Q_j) − Q_i
+
+    so the whole chart is two cumulative windows over the O(parts)
+    frame — no recursion, no iteration, and an ANSI-SQL twin replays it
+    bit-for-bit (ordered cumulative folds are sequential and
+    deterministic in both engines; equivalence to the recurrence is
+    property-tested against a pure-Python replay). z_i is the same
+    binomial standardization as pchart_from_counts; k (reference value,
+    in σ) tunes the shift size targeted (k = δ/2 for a δσ shift), h is
+    the decision interval (≈4–5σ for ARL₀ ≈ 370+).
+
+    ``target_rate`` is the in-control process rate p₀ to standardize
+    against; None (default) pools it from the series itself — note
+    that on a two-regime series the pooled mean sits BETWEEN the
+    regimes, so both arms accumulate and the chart reports the change
+    POINT rather than which side is "normal"; pass the known target
+    when one exists (the usual SPC deployment).
+
+    Plan shape: callers holding per-partition counts pay zero fact
+    scans; every window is a single-partition exchange of O(parts)
+    rows, exactly like the other *_from_counts charts."""
+    everything = Window.partitionBy()
+    ordered = (
+        Window.partitionBy()
+        .orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pooled = per.withColumn(
+        "pooled_rate",
+        F.lit(float(target_rate))
+        if target_rate is not None
+        else F.sum("defects").over(everything) / F.sum("n").over(everything),
+    )
+    rate = F.col("defects") / F.col("n")
+    sigma = F.sqrt(
+        F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
+    )
+    scored = pooled.withColumn("_z", (rate - F.col("pooled_rate")) / sigma)
+    scanned = scored.select(
+        "part",
+        "n",
+        "defects",
+        "_z",
+        F.sum(F.col("_z") - F.lit(k)).over(ordered).alias("_p"),
+        F.sum(F.col("_z") + F.lit(k)).over(ordered).alias("_q"),
+    )
+    cpos = F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(ordered))
+    cneg = F.greatest(F.lit(0.0), F.max("_q").over(ordered)) - F.col("_q")
+    return scanned.select(
+        "part",
+        "n",
+        "defects",
+        F.round("_z", 4).alias("z"),
+        F.round(cpos, 4).alias("cusum_pos"),
+        F.round(cneg, 4).alias("cusum_neg"),
+        F.when((cpos > h) | (cneg > h), F.lit("SHIFTED"))
+        .otherwise(F.lit("STABLE"))
+        .alias("status"),
+    )
+
+
 def hll_partition_sketches(
     df: DataFrame,
     columns: list[str],

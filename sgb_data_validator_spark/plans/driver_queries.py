@@ -699,8 +699,11 @@ _DRIVER_FRONT = [
     "novel_entities", "violation_uchart", "streaming_drift",
     # (perplexity_unigram/boilerplate_ngrams rotated out with the five
     # named above — r4 hash-green, unchanged)
-    "stats_hll", "iconclass_parts",
-    "sessionize",
+    # r5 batch 3 (SPC sequel + latency SLO): these two take the slots
+    # of iconclass_parts / sessionize — both r4 hash-green, unchanged
+    # in r5, still in the local gate
+    "cusum_shift", "latency_profile",
+    "stats_hll",
     "top_values", "stratified_sample",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots

@@ -416,6 +416,138 @@ GROUP BY part
 """
 
 
+# ----------------------------------------------------------- CUSUM
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM over per-day out-of-vocab rates
+    (operators/stats.py:cusum_from_counts) — the sequential member of
+    the SPC family: the p-chart flags a single ≥3σ day, CUSUM
+    accumulates standardized excursions so a ~1σ shift that PERSISTS
+    crosses the decision interval within days. Same one-scan
+    groupBy(day) as the p-chart; the chart itself is two cumulative
+    windows over the O(days) frame, replayed bit-for-bit by the SQL
+    twin (closed prefix-scan form, no recursion)."""
+    from sgb_data_validator_spark.operators.stats import cusum_from_counts
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    ev = _t(spark, sf_dir, "events")
+    flag = ~F.col("event_type").isin(*EVENT_TYPES)
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag.cast("int")).alias("defects"),
+    )
+    return cusum_from_counts(per, k=0.5, h=4.0).select(
+        "part",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("defects").cast("bigint").alias("defects"),
+        "z",
+        "cusum_pos",
+        "cusum_neg",
+        "status",
+    )
+
+
+def _sql_cusum_shift() -> str:
+    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+
+    vocab = ", ".join(repr(x) for x in EVENT_TYPES)
+    return f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS defects
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT part, n, defects,
+         (defects / cast(n AS double)
+          - sum(defects) OVER () / cast(sum(n) OVER () AS double))
+         / sqrt((sum(defects) OVER () / cast(sum(n) OVER () AS double))
+                * (1 - sum(defects) OVER () / cast(sum(n) OVER () AS double)) / n) AS z
+  FROM per
+), scanned AS (
+  SELECT part, n, defects, z,
+         sum(z - 0.5) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS p,
+         sum(z + 0.5) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS q
+  FROM scored
+)
+SELECT part, n, defects, round(z, 4) AS z,
+       round(p - least(0.0, min(p) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)), 4) AS cusum_pos,
+       round(greatest(0.0, max(q) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) - q, 4) AS cusum_neg,
+       CASE WHEN p - least(0.0, min(p) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) > 4.0
+              OR greatest(0.0, max(q) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) - q > 4.0
+            THEN 'SHIFTED' ELSE 'STABLE' END AS status
+FROM scanned
+"""
+
+
+SQL_CUSUM_SHIFT = _sql_cusum_shift()
+
+
+# ------------------------------------------------- response latency
+
+def q_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day inter-turn response-latency profile: exact p50/p95/max
+    of the gap (seconds) between consecutive turns of a conversation,
+    attributed to the later turn's day — the transcript-native latency
+    SLO view (a day whose p95 gap doubles signals a stalled upstream
+    agent even when every row passes validation). Adjacency via the
+    same (conv_id, turn_idx+1) self-join as role_transitions — the key
+    includes turn_idx, so the Zipf-hot conversation spreads instead of
+    hitting one window-sort task; gaps are integer microseconds
+    (portable) divided once into double seconds. Exact percentiles so
+    DuckDB mirrors bit-for-bit; the 10^12-row path swaps in
+    percentile_approx exactly as q_quantiles documents."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "ts",
+    )
+    nxt = turns.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("ts").alias("ts_next"),
+    )
+    gaps = turns.join(nxt, ["conv_id", "turn_idx"]).select(
+        F.date_format("ts_next", "yyyy-MM-dd").alias("part"),
+        (
+            (
+                F.unix_micros(F.col("ts_next").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            / F.lit(1000000.0)
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_s"),
+        F.round(F.max("gap_s"), 4).alias("max_s"),
+    )
+
+
+SQL_LATENCY_PROFILE = """
+WITH turns AS (
+  SELECT user_id AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         ts
+  FROM events
+), gaps AS (
+  SELECT strftime(b.ts, '%Y-%m-%d') AS part,
+         date_diff('us', a.ts, b.ts) / 1000000.0 AS gap_s
+  FROM turns a JOIN turns b
+    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+)
+SELECT part,
+       cast(count(*) AS bigint) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(gap_s, 0.95), 4) AS p95_s,
+       round(max(gap_s), 4) AS max_s
+FROM gaps GROUP BY part
+"""
+
+
 MONITOR_QUERIES: dict[str, tuple] = {
     "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
     "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
@@ -424,4 +556,6 @@ MONITOR_QUERIES: dict[str, tuple] = {
     "conv_surprise": (q_conv_surprise, SQL_CONV_SURPRISE),
     "novel_entities": (q_novel_entities, SQL_NOVEL_ENTITIES),
     "streaming_drift": (q_streaming_drift, SQL_STREAMING_DRIFT),
+    "cusum_shift": (q_cusum_shift, SQL_CUSUM_SHIFT),
+    "latency_profile": (q_latency_profile, SQL_LATENCY_PROFILE),
 }

@@ -221,3 +221,99 @@ def test_spc_report_from_validation_result(spark, tmp_path):
     # statuses are from the enum and at least one day is in control
     statuses = {r.status for r in rows}
     assert statuses <= {"IN_CONTROL", "OUT_OF_CONTROL"}
+
+
+def test_cusum_catches_persistent_shift_shewhart_misses(spark):
+    """The CUSUM motivating case: a rate that steps from the 1% target
+    to 1.15% and STAYS there. Each shifted day's binomial z is ~1.5σ —
+    below every Shewhart limit (p-chart stays IN_CONTROL throughout) —
+    but the excursions accumulate at (z − k) ≈ 1.0/day, so CUSUM
+    crosses h=4 on the 4th shifted day. An equal-sized ISOLATED spike
+    decays (−k/day against target) and never trips it."""
+    from sgb_data_validator_spark.operators.stats import (
+        cusum_from_counts,
+        pchart_from_counts,
+    )
+
+    n = 10_000
+    rows = [(f"d{i:02d}", n, 100) for i in range(10)]          # 1% = target
+    rows += [(f"d{10 + i:02d}", n, 115) for i in range(8)]     # 1.15% persists
+    per = spark.createDataFrame(rows, "part string, n long, defects long")
+    cusum = {
+        r.part: r
+        for r in cusum_from_counts(per, k=0.5, h=4.0, target_rate=0.01).collect()
+    }
+    pchart = {r.part: r for r in pchart_from_counts(per, k=3.0).collect()}
+    # Shewhart never fires: every day within 3σ of the pooled rate
+    assert all(r.status == "IN_CONTROL" for r in pchart.values())
+    # CUSUM: quiet through the baseline, fires on the 4th shifted day
+    # and stays latched through the end of the run
+    assert all(cusum[f"d{i:02d}"].status == "STABLE" for i in range(12))
+    assert cusum["d13"].status == "SHIFTED"
+    assert cusum["d17"].status == "SHIFTED"
+
+    # isolated spike of the same size: accumulates once, then decays
+    spike = [(f"d{i:02d}", n, 115 if i == 5 else 100) for i in range(18)]
+    per2 = spark.createDataFrame(spike, "part string, n long, defects long")
+    got2 = cusum_from_counts(per2, k=0.5, h=4.0, target_rate=0.01).collect()
+    assert all(r.status == "STABLE" for r in got2)
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The two-window prefix-scan form == the textbook recurrence
+    C+_i = max(0, C+_{i-1} + z_i - k), C-_i = max(0, C-_{i-1} - z_i - k),
+    replayed in pure Python from the same counts."""
+    import random
+
+    from sgb_data_validator_spark.operators.stats import cusum_from_counts
+
+    rng = random.Random(7)
+    rows = [
+        (f"d{i:02d}", 1000 + rng.randrange(9000), None) for i in range(25)
+    ]
+    rows = [(p, n, rng.randrange(max(1, n // 50))) for p, n, _ in rows]
+    per = spark.createDataFrame(rows, "part string, n long, defects long")
+    k = 0.5
+    got = {r.part: r for r in cusum_from_counts(per, k=k, h=4.0).collect()}
+
+    tot_d = sum(d for _, _, d in rows)
+    tot_n = sum(n for _, n, _ in rows)
+    pbar = tot_d / tot_n
+    cpos = cneg = 0.0
+    for p, n, d in sorted(rows):
+        z = (d / n - pbar) / math.sqrt(pbar * (1 - pbar) / n)
+        cpos = max(0.0, cpos + z - k)
+        cneg = max(0.0, cneg - z - k)
+        assert abs(got[p].cusum_pos - cpos) < 1e-3, p
+        assert abs(got[p].cusum_neg - cneg) < 1e-3, p
+
+
+def test_latency_profile_exact_percentiles(spark, tmp_path):
+    """Constructed 1-conversation day with gaps 10/20/30/40 s ⇒
+    p50 = 25, p95 = 38.5 (linear interpolation), max = 40."""
+    import datetime as dt
+
+    # import via the registry: driver_queries must initialize first
+    # (monitor_queries' module-level SQL twins read EVENT_TYPES from it)
+    from sgb_data_validator_spark.plans.driver_queries import QUERIES
+
+    q_latency_profile = QUERIES["latency_profile"][0]
+
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+    offsets = [0, 10, 30, 60, 100]  # gaps 10, 20, 30, 40
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "view", 0.0, "{}")
+        for i, s in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = q_latency_profile(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.part == "2024-01-05" and r.n_gaps == 4
+    assert abs(r.p50_s - 25.0) < 1e-9
+    assert abs(r.p95_s - 38.5) < 1e-9
+    assert abs(r.max_s - 40.0) < 1e-9
