@@ -67,6 +67,21 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "partition)",
     )
     p.add_argument(
+        "--fill-rate-drift",
+        action="store_true",
+        help="also flag partitions whose per-column fill rate (share of "
+        "non-NULL values) drifts more than --fill-rate-tol from the "
+        "baseline snapshot's dim='fill_rate' rows (requires "
+        "--baseline-stats; emits drift.fill.<column> errors)",
+    )
+    p.add_argument(
+        "--fill-rate-tol",
+        type=float,
+        default=0.005,
+        help="absolute fill-rate gap that triggers drift.fill.<column> "
+        "(default 0.005 = half a percentage point)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -76,6 +91,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     args = p.parse_args(argv)
     if args.reconcile_manifest and not args.conversations:
         p.error("--reconcile-manifest requires --conversations")
+    if args.fill_rate_drift and not args.baseline_stats:
+        p.error("--fill-rate-drift requires --baseline-stats")
     return args
 
 
@@ -193,7 +210,22 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
     t0 = time.perf_counter()
-    result = validate(t, reconcile_manifest=args.reconcile_manifest)
+    if (
+        args.fill_rate_drift
+        and t.baseline_stats is not None
+        and t.baseline_stats.where(F.col("dim") == "fill_rate").limit(1).count() == 0
+    ):
+        print(
+            "warning: --fill-rate-drift set but the baseline snapshot has no "
+            "dim='fill_rate' rows — completeness drift check is a no-op",
+            file=sys.stderr,
+        )
+    result = validate(
+        t,
+        reconcile_manifest=args.reconcile_manifest,
+        fill_rate_drift=args.fill_rate_drift,
+        fill_rate_tol=args.fill_rate_tol,
+    )
     sinks.write_all(result, args.out)
     elapsed = time.perf_counter() - t0
 

@@ -311,3 +311,100 @@ def novel_entities(
             F.round(F.col("novel") / F.col("active"), 6).alias("novel_rate"),
         )
     )
+
+
+def fill_rates(df: DataFrame, part_col, cols: list[str]) -> DataFrame:
+    """Per-(partition, column) fill rate (share of non-NULL values) in
+    ONE fact scan: a single groupBy(part) computes count(*) plus one
+    count(col) per audited column (all map-side-combinable, one shuffle
+    keyed by part), then the wide O(parts) row is unpivoted with
+    ``stack`` — the fact itself is never exploded or rescanned per
+    column. Completeness is the column-stats axis the frequency-drift
+    family (KL/PSI/JS/KS/W1) cannot see: those compare the mix of
+    PRESENT values, so a field silently going NULL for half a partition
+    is invisible to them while it is the single most common upstream
+    breakage (dropped join in the producer, schema evolution, a writer
+    defaulting a new field).
+
+    Output: (part, column, n, filled, fill_rate), one row per audited
+    column per partition.
+
+    Reference analog: the null/required-field checks that
+    /root/reference/src/models.py enforces per record; here they become
+    a partition-level completeness profile so drift in missingness is a
+    first-class, baseline-comparable signal.
+    """
+    part = (
+        F.col(part_col).cast("string") if isinstance(part_col, str) else part_col.cast("string")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.count(F.col(c)).alias(f"__f_{c}") for c in cols
+    ]
+    wide = df.groupBy(part.alias("part")).agg(*aggs)
+    pairs = ", ".join(f"'{c}', __f_{c}" for c in cols)
+    return wide.select(
+        "part",
+        F.col("__n").cast("bigint").alias("n"),
+        F.expr(f"stack({len(cols)}, {pairs})").alias("column", "filled"),
+    ).select(
+        "part",
+        "column",
+        "n",
+        F.col("filled").cast("bigint").alias("filled"),
+        (F.col("filled") / F.col("n")).alias("fill_rate"),
+    )
+
+
+def fill_rate_drift(
+    df: DataFrame,
+    part_col,
+    cols: list[str],
+    baseline: DataFrame | None = None,
+    tol: float = 0.005,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-partition completeness drift: each audited column's fill rate
+    vs a baseline rate, flagged when the absolute gap exceeds the
+    noise-aware limit ``max(tol, k·sqrt(b(1−b)/n))`` — the same
+    binomial-3σ construction as the p-chart (operators/stats.py:
+    rate_pchart), so small partitions don't false-positive on sampling
+    noise while ``tol`` stays the effect-size floor that governs at
+    scale (a 10^9-row partition's σ term is ~0, leaving the pure
+    half-percentage-point contract).
+
+    ``baseline`` is the engine's (dim, value, freq) snapshot frame with
+    ``dim = 'fill_rate'`` rows (value = column name, freq = the clean
+    fill rate) — the same shape ``generate_baseline_stats`` writes for
+    the categorical dims, so no schema change anywhere. When
+    ``baseline`` is None the global (all-partition) fill rate serves as
+    the reference, computed as an in-plan aggregate over the already
+    grouped O(parts × cols) frame — no second fact scan either way; the
+    baseline side broadcasts.
+
+    Output: (part, column, n, fill_rate, baseline_rate, delta, limit,
+    flagged), delta = fill_rate − baseline_rate.
+    """
+    rates = fill_rates(df, part_col, cols)
+    if baseline is not None:
+        base = (
+            baseline.where(F.col("dim") == "fill_rate")
+            .select(F.col("value").alias("column"), F.col("freq").alias("baseline_rate"))
+        )
+        joined = rates.join(F.broadcast(base), "column", "inner")
+    else:
+        w = Window.partitionBy("column")
+        joined = rates.withColumn(
+            "baseline_rate", F.sum("filled").over(w) / F.sum("n").over(w)
+        )
+    b = F.col("baseline_rate")
+    limit = F.greatest(F.lit(tol), F.lit(k) * F.sqrt(b * (1.0 - b) / F.col("n")))
+    return joined.select(
+        "part",
+        "column",
+        "n",
+        "fill_rate",
+        "baseline_rate",
+        (F.col("fill_rate") - b).alias("delta"),
+        limit.alias("limit"),
+        (F.abs(F.col("fill_rate") - b) > limit).alias("flagged"),
+    )

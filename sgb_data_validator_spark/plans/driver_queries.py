@@ -703,8 +703,12 @@ _DRIVER_FRONT = [
     # of iconclass_parts / sessionize — both r4 hash-green, unchanged
     # in r5, still in the local gate
     "cusum_shift", "latency_profile",
+    # r5 batch 4 (completeness drift): fill_drift takes the slot of
+    # stratified_sample (r4 hash-green, unchanged in r5, still in the
+    # local gate)
+    "fill_drift",
     "stats_hll",
-    "top_values", "stratified_sample",
+    "top_values",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
     # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore

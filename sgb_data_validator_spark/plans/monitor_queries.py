@@ -548,6 +548,78 @@ FROM gaps GROUP BY part
 """
 
 
+def q_fill_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition completeness drift (operators/drift.py:
+    fill_rate_drift): each audited column's per-day fill rate (share of
+    non-NULL values) vs the global rate, flagged past a 2pp absolute
+    gap — the missingness axis the frequency-drift family can't see
+    (those compare the mix of PRESENT values). The testdata events
+    table has no natural NULLs, so the audited columns are two
+    deterministic censored projections (a JSON key dropped on k % 7,
+    a value column censored above 450) — the operator is agnostic to
+    where the NULLs come from. The flag limit is noise-aware:
+    max(tol, 3·sqrt(b(1−b)/n)), the p-chart construction, so small
+    partitions don't false-positive on binomial sampling noise. One
+    fact scan: a single groupBy(part) computes count(*) + one
+    count(col) per column, the wide O(days) row is stack()-unpivoted,
+    and the global baseline is an in-plan window over that long
+    frame."""
+    from sgb_data_validator_spark.operators.drift import fill_rate_drift
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    proj = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(k).alias("prop_k"),
+        F.when(F.col("value") > 450, F.lit(None)).otherwise(F.col("value")).alias("value_cens"),
+    )
+    return fill_rate_drift(proj, "part", ["prop_k", "value_cens"], tol=0.02).select(
+        "part",
+        "column",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("fill_rate", 6).alias("fill_rate"),
+        F.round("baseline_rate", 6).alias("baseline_rate"),
+        F.round("delta", 6).alias("delta"),
+        F.round("limit", 6).alias("lim"),
+        "flagged",
+    )
+
+
+SQL_FILL_DRIFT = """
+WITH proj AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         CASE WHEN cast(json_extract_string(props, '$.k') AS int) % 7 = 0 THEN NULL
+              ELSE cast(json_extract_string(props, '$.k') AS int) END AS prop_k,
+         CASE WHEN value > 450 THEN NULL ELSE value END AS value_cens
+  FROM events
+), wide AS (
+  SELECT part, count(*) AS n,
+         count(prop_k) AS f_prop_k, count(value_cens) AS f_value_cens
+  FROM proj GROUP BY part
+), long AS (
+  SELECT part, n, 'prop_k' AS "column", f_prop_k AS filled FROM wide
+  UNION ALL
+  SELECT part, n, 'value_cens' AS "column", f_value_cens AS filled FROM wide
+), cmp AS (
+  SELECT part, "column", n,
+         filled / cast(n AS double) AS fill_rate,
+         sum(filled) OVER (PARTITION BY "column")
+           / cast(sum(n) OVER (PARTITION BY "column") AS double) AS baseline_rate
+  FROM long
+), lim AS (
+  SELECT *, greatest(0.02, 3.0 * sqrt(baseline_rate * (1.0 - baseline_rate) / n)) AS l
+  FROM cmp
+)
+SELECT part, "column", cast(n AS bigint) AS n,
+       round(fill_rate, 6) AS fill_rate,
+       round(baseline_rate, 6) AS baseline_rate,
+       round(fill_rate - baseline_rate, 6) AS delta,
+       round(l, 6) AS lim,
+       abs(fill_rate - baseline_rate) > l AS flagged
+FROM lim
+"""
+
+
 MONITOR_QUERIES: dict[str, tuple] = {
     "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
     "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
@@ -558,4 +630,5 @@ MONITOR_QUERIES: dict[str, tuple] = {
     "streaming_drift": (q_streaming_drift, SQL_STREAMING_DRIFT),
     "cusum_shift": (q_cusum_shift, SQL_CUSUM_SHIFT),
     "latency_profile": (q_latency_profile, SQL_LATENCY_PROFILE),
+    "fill_drift": (q_fill_drift, SQL_FILL_DRIFT),
 }

@@ -84,6 +84,8 @@ def compute_violations(
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
     opening_roles: tuple[str, ...] | None = ("system",),
+    fill_rate_drift: bool = False,
+    fill_rate_tol: float = 0.005,
 ) -> DataFrame:
     v = (row_rules or transcript_row_rules()).violations(t.turns)
     v = v.unionByName(uniqueness_violations(t.turns))
@@ -163,6 +165,37 @@ def compute_violations(
                 .drop("__tool_ok")
             )
         v = v.unionByName(drift_ops.drift_violations(drift_input, t.baseline_stats))
+        if fill_rate_drift:
+            # opt-in (same contract as reconcile_manifest: default OFF
+            # keeps every recorded violation count stable): partition
+            # completeness vs the snapshot's dim='fill_rate' rows.
+            # Audited columns are exactly the snapshot's — baselines
+            # written before the fill_rate dim existed contribute no
+            # rows and the check is a no-op, not an error. Runs on the
+            # RAW turns (not drift_input): NULL text is precisely the
+            # signal, so it must not be pre-filtered away.
+            audited = [
+                r["value"]
+                for r in t.baseline_stats.where(F.col("dim") == "fill_rate")
+                .select("value")
+                .collect()  # O(audited columns) — a handful of names
+                if r["value"] in t.turns.columns
+            ]
+            if audited:
+                fr = drift_ops.fill_rate_drift(
+                    t.turns, "part", audited, baseline=t.baseline_stats, tol=fill_rate_tol
+                )
+                v = v.unionByName(
+                    fr.where(F.col("flagged")).select(
+                        F.concat(F.lit("drift.fill."), F.col("column")).alias("rule_id"),
+                        F.lit(None).cast("string").alias("conv_id"),
+                        F.lit(None).cast("int").alias("turn_idx"),
+                        "column",
+                        F.round("delta", 6).cast("string").alias("offending_value"),
+                        F.lit(R.SEV_ERROR).alias("severity"),
+                        "part",
+                    )
+                )
     return v
 
 
@@ -208,9 +241,16 @@ def validate(
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
     opening_roles: tuple[str, ...] | None = ("system",),
+    fill_rate_drift: bool = False,
+    fill_rate_tol: float = 0.005,
 ) -> ValidationResult:
     violations = compute_violations(
-        t, row_rules, reconcile_manifest=reconcile_manifest, opening_roles=opening_roles
+        t,
+        row_rules,
+        reconcile_manifest=reconcile_manifest,
+        opening_roles=opening_roles,
+        fill_rate_drift=fill_rate_drift,
+        fill_rate_tol=fill_rate_tol,
     )
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)

@@ -237,7 +237,24 @@ def generate_baseline_stats(spark: SparkSession, cfg: FixtureConfig) -> DataFram
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    # completeness axis: per-column fill rates from the same clean
+    # generation, stored in the SAME (dim, value, freq) shape —
+    # dim='fill_rate', value=column name, freq=clean fill rate — so the
+    # snapshot schema is unchanged and the categorical drift checks
+    # (which filter on their own dim) never see these rows
+    fill = clean.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count("text").alias("__text"),
+        F.count("tool").alias("__tool"),
+    ).select(
+        F.expr("stack(2, 'text', __text, 'tool', __tool)").alias("value", "__f"),
+        F.col("__n"),
+    ).select(
+        F.lit("fill_rate").alias("dim"),
+        "value",
+        (F.col("__f") / F.col("__n")).alias("freq"),
+    )
+    return out.unionByName(fill)
 
 
 def write_fixture_tables(spark: SparkSession, cfg: FixtureConfig, path: str) -> None:

@@ -75,3 +75,16 @@ def test_job_streaming_incremental(spark, tmp_path):
     generate_turns(spark, FixtureConfig(n_turns=800, seed=7)).write.mode("append").parquet(landing)
     run(spark, parse_args(argv))
     assert spark.read.parquet(f"{base}/sreport/violations_stream/rows").count() > n1
+
+
+def test_fill_rate_drift_flag_requires_baseline():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_args(["--turns", "/t", "--out", "/o", "--fill-rate-drift"])
+    # with a baseline it parses, and the tolerance knob is threaded
+    args = parse_args(
+        ["--turns", "/t", "--out", "/o", "--baseline-stats", "/b",
+         "--fill-rate-drift", "--fill-rate-tol", "0.01"]
+    )
+    assert args.fill_rate_drift and args.fill_rate_tol == 0.01

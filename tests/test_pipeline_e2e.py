@@ -173,3 +173,48 @@ def test_empty_input(spark):
     assert res.violations.count() == 0
     assert res.verdicts.count() == 0
     assert res.passed is True
+
+
+def test_fill_rate_drift_opt_in(spark, tables, result):
+    """Opt-in completeness drift: the dirt generator NULLs ~1.5% of text
+    on dirty days (generator.py dirt("null")), so with the fill_rate
+    baseline rows (clean text fill = 1.0) every dirty day must raise
+    drift.fill.text; day 0 (clean by construction) must not; and the
+    default path's violation count is unchanged by the feature
+    existing."""
+    res = validate(tables, fill_rate_drift=True)
+    fill_v = res.violations.where(F.col("rule_id").startswith("drift.fill.")).collect()
+    assert fill_v, "expected drift.fill.* violations on the dirty fixture"
+    days = sorted({r.part for r in fill_v if r.rule_id == "drift.fill.text"})
+    all_days = sorted(r.part for r in tables.turns.select("part").distinct().collect())
+    assert all_days[0] not in days  # day 0 stays clean
+    # every flagged day is a dirty day, and most dirty days trip (the
+    # 1.5 permille hash dirt can leave a small day with zero NULL
+    # texts — on this fixture exactly one of the seven dirty days)
+    assert set(days) <= set(all_days[1:])
+    assert len(days) >= len(all_days[1:]) - 1
+    # the drift day's shifted tool mix also moves the tool FILL rate
+    # far past its binomial band — the completeness check sees it
+    assert ("drift.fill.tool", all_days[-1]) in {
+        (r.rule_id, r.part) for r in fill_v
+    }
+    # feature OFF (the default) is bit-identical to before it existed
+    assert result.violations.count() == res.violations.where(
+        ~F.col("rule_id").startswith("drift.fill.")
+    ).count()
+
+
+def test_fill_rate_drift_clean_config_quiet(spark):
+    """On a clean generation the completeness check must stay silent —
+    the binomial noise guard absorbs small-partition sampling wiggle in
+    the tool column's fill rate."""
+    cfg = replace(CFG, dirt=False, n_empty_convs=0)
+    t = TranscriptTables(
+        turns=generate_turns(spark, cfg),
+        conversations=generate_conversations(spark, cfg),
+        allowed_tools=generate_allowed_tools(spark),
+        baseline_stats=generate_baseline_stats(spark, cfg),
+    )
+    res = validate(t, fill_rate_drift=True)
+    assert res.violations.where(F.col("rule_id").startswith("drift.fill.")).count() == 0
+    assert res.passed is True

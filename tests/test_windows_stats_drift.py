@@ -227,3 +227,48 @@ def test_robust_outliers_flags_megadoc_not_bulk(spark):
     assert set(out) == {99}
     out2 = {r.id for r in robust_outliers(df, "source", "n", "doc_id", k=1.5).collect()}
     assert 299 in out2  # lower threshold surfaces the floored deviation
+
+
+def test_fill_rate_drift_flags_and_noise_guard(spark):
+    """Completeness drift: a partition where a column went 40% NULL is
+    flagged against an explicit baseline; a small partition whose gap
+    is within the binomial 3σ band is NOT (the p-chart noise guard);
+    the global-baseline path (baseline=None) agrees on the blatant
+    case."""
+    from sgb_data_validator_spark.operators.drift import fill_rate_drift, fill_rates
+
+    rows = (
+        [("good", "x", "y")] * 100
+        + [("bad", "x", None)] * 40 + [("bad", "x", "y")] * 60
+        # tiny partition, 1 null out of 20 = fill 0.95 vs baseline 1.0:
+        # gap 0.05 < 3*sqrt(1.0*0/20)=0 -- with b=1.0 sigma is 0, so use
+        # baseline 0.9 for the noise-guard column instead (below)
+        + [("small", "x", "y")] * 19 + [("small", "x", None)]
+    )
+    df = spark.createDataFrame(rows, "part string, a string, b string")
+    base = spark.createDataFrame(
+        [("fill_rate", "a", 1.0), ("fill_rate", "b", 0.9)],
+        "dim string, value string, freq double",
+    )
+    got = {
+        (r.part, r.column): r
+        for r in fill_rate_drift(df, "part", ["a", "b"], baseline=base, tol=0.005).collect()
+    }
+    assert got[("bad", "b")].flagged  # fill 0.6 vs 0.9: blatant
+    assert not got[("good", "a")].flagged  # fill 1.0 == baseline
+    # small partition: fill 0.95 vs baseline 0.9, gap .05 but
+    # 3*sqrt(.9*.1/20) = .201 -- inside the noise band, not flagged
+    assert not got[("small", "b")].flagged
+    assert abs(got[("small", "b")]["limit"] - 3.0 * (0.9 * 0.1 / 20) ** 0.5) < 1e-12
+    # global-baseline path agrees on the blatant drop (global b fill =
+    # (100+60+19)/220 = 0.8136; bad's 0.6 gap .21 > max(.005, 3sigma))
+    glob = {
+        (r.part, r.column): r.flagged
+        for r in fill_rate_drift(df, "part", ["a", "b"], tol=0.005).collect()
+    }
+    assert glob[("bad", "b")]
+    assert not glob[("good", "a")]
+    # fill_rates itself: one row per (part, column), exact counts
+    fr = {(r.part, r.column): (r.n, r.filled) for r in fill_rates(df, "part", ["a", "b"]).collect()}
+    assert fr[("bad", "b")] == (100, 60)
+    assert fr[("good", "b")] == (100, 100)
