@@ -33,7 +33,7 @@ from sgb_data_validator_spark.operators.referential import (
 )
 from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
 
-EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' ⇒ vocab violation
+from sgb_data_validator_spark.plans.constants import EVENT_TYPES  # noqa: F401  (re-export)
 LANGS = ["en", "de", "fr", "es"]  # 'zh' ⇒ vocab violation
 
 

@@ -104,7 +104,7 @@ def q_violation_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(day) over the fact, pooled rate as an in-plan window over
     the O(days) frame."""
     from sgb_data_validator_spark.operators.stats import rate_pchart
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     ev = _t(spark, sf_dir, "events")
     flag = ~F.col("event_type").isin(*EVENT_TYPES)
@@ -125,7 +125,7 @@ def q_violation_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_violation_pchart() -> str:
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     vocab = ", ".join(repr(x) for x in EVENT_TYPES)
     return f"""
@@ -289,7 +289,7 @@ def q_violation_uchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     value per day over the day's row count — two rules, so a row can
     carry up to two defects, exactly the shape that needs u not p."""
     from sgb_data_validator_spark.operators.stats import uchart_from_counts
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     ev = _t(spark, sf_dir, "events")
     vocab_bad = (~F.col("event_type").isin(*EVENT_TYPES)).cast("int")
@@ -310,7 +310,7 @@ def q_violation_uchart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_violation_uchart() -> str:
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     vocab = ", ".join(repr(x) for x in EVENT_TYPES)
     return f"""
@@ -428,7 +428,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the O(days) frame, replayed bit-for-bit by the SQL
     twin (closed prefix-scan form, no recursion)."""
     from sgb_data_validator_spark.operators.stats import cusum_from_counts
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     ev = _t(spark, sf_dir, "events")
     flag = ~F.col("event_type").isin(*EVENT_TYPES)
@@ -448,7 +448,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cusum_shift() -> str:
-    from sgb_data_validator_spark.plans.driver_queries import EVENT_TYPES
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
 
     vocab = ", ".join(repr(x) for x in EVENT_TYPES)
     return f"""
