@@ -654,6 +654,7 @@ from sgb_data_validator_spark.plans.corpus_queries import CORPUS_QUERIES  # noqa
 from sgb_data_validator_spark.plans.packing_queries import PACKING_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.analysis_queries import ANALYSIS_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.monitor_queries import MONITOR_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.audit_queries import AUDIT_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
@@ -662,6 +663,7 @@ QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(PACKING_QUERIES)
 QUERIES.update(ANALYSIS_QUERIES)
 QUERIES.update(MONITOR_QUERIES)
+QUERIES.update(AUDIT_QUERIES)
 
 # ---------------------------------------------------------------- ordering
 #
@@ -707,13 +709,17 @@ _DRIVER_FRONT = [
     # stratified_sample (r4 hash-green, unchanged in r5, still in the
     # local gate)
     "fill_drift",
+    # r5 batch 5 (audit tier): these seven take the slots of
+    # top_values / bloom_contamination / dedup_prefix / domain_mix /
+    # incremental_dedup / zorder_key / split_assign — all r4
+    # hash-green, unchanged in r5, still in the local gate
+    "conv_dedup", "embedding_drift", "skew_report", "benford",
+    "funnel", "lang_mismatch", "role_pmi",
     "stats_hll",
-    "top_values",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
     # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore
-    "bloom_contamination", "dedup_prefix", "domain_mix",
-    "incremental_dedup", "streaming_interval_join", "zorder_key",
+    "streaming_interval_join",
     "role_structure", "dedup_containment", "reconcile_totals",
     # new this round
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
@@ -721,7 +727,6 @@ _DRIVER_FRONT = [
     "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
     "pagerank", "orc_roundtrip", "csv_roundtrip", "streaming_enrichment",
     "cms_topk", "token_entropy", "dedup_winnow", "knn_sq8",
-    "split_assign",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",
