@@ -691,7 +691,9 @@ _DRIVER_FRONT = [
     # r5, still in the local gate); every changed-in-r5 query
     # (transcript_pipeline, reconcile_totals, role_structure,
     # kmeans_train, summary, pivot, verdicts, row_rules, unique) is
-    # already inside the window
+    # inside the window — summary/pivot rotated BACK IN below because
+    # their shared _all_violations frame moved from a module-global
+    # memo to a session-scoped catalog view this round
     "token_count_bpe", "drift_js", "length_outliers",
     # r5 batch 2 (monitoring / conversation structure): these six take
     # the slots of temperature_sample / semantic_dedup / quality_gate /
@@ -725,7 +727,11 @@ _DRIVER_FRONT = [
     "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
     "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
     "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
-    "pagerank", "orc_roundtrip", "csv_roundtrip", "streaming_enrichment",
+    # r5: summary/pivot return to the window (their _all_violations
+    # mechanism changed this round — see above), taking the slots of
+    # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,
+    # still in the local gate)
+    "pagerank", "summary", "pivot", "streaming_enrichment",
     "cms_topk", "token_entropy", "dedup_winnow", "knn_sq8",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
