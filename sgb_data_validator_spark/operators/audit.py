@@ -200,3 +200,31 @@ def cooccurrence_pmi(
         "n_both",
         F.round(pmi, 6).alias("pmi"),
     )
+
+
+def salt_plan(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int,
+) -> DataFrame:
+    """Actionable salting recommendations from the per-key count
+    distribution — the DECISION step between :func:`key_skew_report`'s
+    measurement and the salted repartition uniqueness.py applies: every
+    key whose row count exceeds ``target_rows`` (the rows-per-task
+    budget partitions are sized for) gets ``salt_factor`` =
+    ceil(count / target_rows), the number of salt buckets that brings
+    its largest shard back under budget. Keys under budget need no
+    salt and are not emitted, so the plan is O(hot keys) — small enough
+    to broadcast back into the salting join.
+
+    One map-side-combined groupBy(key) over the fact; the filter and
+    the ceil-division run on the O(distinct keys) frame. Integer
+    arithmetic only, so the DuckDB twin replays it exactly."""
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    per = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return per.where(F.col("cnt") > target_rows).select(
+        key_col,
+        "cnt",
+        F.ceil(F.col("cnt") / F.lit(target_rows)).cast("int").alias("salt_factor"),
+    )

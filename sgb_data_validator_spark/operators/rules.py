@@ -225,6 +225,64 @@ class RowRuleSet:
             "part",
         )
 
+    def pass_rates(self, df: DataFrame, mostly: float = 0.995) -> DataFrame:
+        """Per-rule pass-rate summary in ONE fused scan — the
+        expectation-suite view of the same rules :meth:`violations`
+        reports row-by-row: for dashboards and CI gates the question
+        is not "which rows failed" but "did each rule's pass rate stay
+        above its tolerance" (the 'mostly' semantics popularized by
+        Great Expectations' ``expect_*(mostly=...)``).
+
+        Output: one row per rule — (rule_id, n, failures, pass_rate,
+        status) with status PASS when pass_rate ≥ ``mostly`` else FAIL.
+        Gated rules count failures only on rows passing the parse gate,
+        exactly as :meth:`violations` emits them, so
+        ``failures == violations().count()`` per rule by construction.
+
+        Plan shape: a single aggregation over one scan (every rule is a
+        conditional sum in the same projection — adding a rule adds a
+        column, not a pass), then the O(rules) one-row frame unpivots
+        via an explode. The fact is never shuffled; only agg state
+        moves."""
+        gate = self.parse_ok(df)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        # positional slot names: rule_ids contain '.' which F.col would
+        # parse as a struct path
+        for i, r in enumerate(self.rules):
+            pred = r.predicate(df)
+            if r.gated:
+                pred = pred & gate
+            aggs.append(
+                # sum() is NULL on an empty frame — an empty input has
+                # zero failures, not unknown failures
+                F.coalesce(
+                    F.sum(F.coalesce(pred, F.lit(False)).cast("int")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"__f_{i}")
+            )
+        one = df.agg(*aggs)
+        pairs = F.map_from_arrays(
+            F.array(*[F.lit(r.rule_id) for r in self.rules]),
+            F.array(*[F.col(f"__f_{i}") for i in range(len(self.rules))]),
+        )
+        exploded = one.select(
+            F.col("__n").cast("bigint").alias("n"),
+            F.explode(pairs).alias("rule_id", "failures"),
+        )
+        rate = F.when(F.col("n") > 0, 1.0 - F.col("failures") / F.col("n")).otherwise(
+            F.lit(1.0)
+        )
+        return exploded.select(
+            "rule_id",
+            "n",
+            "failures",
+            F.round(rate, 6).alias("pass_rate"),
+            F.when(rate >= mostly, F.lit("PASS")).otherwise(F.lit("FAIL")).alias(
+                "status"
+            ),
+        )
+
 
 def empty_violations(spark) -> DataFrame:
     return spark.createDataFrame(

@@ -364,3 +364,46 @@ def transition_surprise(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg(-F.log("p")).alias("surprise"),
     )
+
+
+def repeat_transition_violations(
+    turns: DataFrame,
+    rule_id: str = "transition.repeat",
+    severity: str = "warning",
+) -> DataFrame:
+    """Adjacent same-role turns as canonical violation rows — the
+    LEGALITY complement of :func:`role_transitions`' distribution view:
+    a healthy transcript alternates speakers, so ``user → user`` or
+    ``assistant → assistant`` marks a dropped turn, a merge artifact,
+    or role-label corruption (the reference flags per-field anomalies
+    one record at a time — /root/reference/src/api.py:263
+    ``validate_item``; this is the two-row sequence rule a
+    record-at-a-time loop cannot express).
+
+    Violations are attributed to the SECOND turn of the pair (the one
+    whose presence makes the repeat), with ``offending_value`` =
+    ``prev->cur`` so the report reads without a join back.
+
+    Plan shape: the same (conv_id, turn_idx) = (conv_id, turn_idx + 1)
+    equi-join as role_transitions — the key includes turn_idx, so the
+    Zipf-hot conversation spreads over ~n/parallelism join keys instead
+    of one window-sort task; one shuffle, text never enters it.
+    Precondition: dense contiguous turn_idx (contiguity rule first)."""
+    slim = turns.select("conv_id", "turn_idx", "role")
+    nxt = slim.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("next_role"),
+    )
+    return (
+        slim.join(nxt, ["conv_id", "turn_idx"])
+        .where(F.col("role") == F.col("next_role"))
+        .select(
+            F.lit(rule_id).alias("rule_id"),
+            F.col("conv_id").cast("string").alias("conv_id"),
+            (F.col("turn_idx") + 1).cast("int").alias("turn_idx"),
+            F.lit("role").alias("column"),
+            F.concat_ws("->", "role", "next_role").alias("offending_value"),
+            F.lit(severity).alias("severity"),
+        )
+    )

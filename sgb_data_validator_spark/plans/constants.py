@@ -7,3 +7,4 @@ made `import monitor_queries` order-dependent.
 """
 
 EVENT_TYPES = ["click", "view", "purchase", "signup"]  # 'error' ⇒ vocab violation
+LANGS = ["en", "de", "fr", "es"]  # 'zh' ⇒ vocab violation

@@ -33,8 +33,10 @@ from sgb_data_validator_spark.operators.referential import (
 )
 from sgb_data_validator_spark.operators.uniqueness import uniqueness_violations
 
-from sgb_data_validator_spark.plans.constants import EVENT_TYPES  # noqa: F401  (re-export)
-LANGS = ["en", "de", "fr", "es"]  # 'zh' ⇒ vocab violation
+from sgb_data_validator_spark.plans.constants import (  # noqa: F401  (re-exports)
+    EVENT_TYPES,
+    LANGS,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -655,6 +657,7 @@ from sgb_data_validator_spark.plans.packing_queries import PACKING_QUERIES  # no
 from sgb_data_validator_spark.plans.analysis_queries import ANALYSIS_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.monitor_queries import MONITOR_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.audit_queries import AUDIT_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.validator_queries import VALIDATOR_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
@@ -664,6 +667,7 @@ QUERIES.update(PACKING_QUERIES)
 QUERIES.update(ANALYSIS_QUERIES)
 QUERIES.update(MONITOR_QUERIES)
 QUERIES.update(AUDIT_QUERIES)
+QUERIES.update(VALIDATOR_QUERIES)
 
 # ---------------------------------------------------------------- ordering
 #
@@ -717,15 +721,20 @@ _DRIVER_FRONT = [
     # hash-green, unchanged in r5, still in the local gate
     "conv_dedup", "embedding_drift", "skew_report", "benford",
     "funnel", "lang_mismatch", "role_pmi",
+    # r5 batch 6 (validator tier): these seven take the slots of
+    # contamination_ngram / drift_ks / dedup_url / token_chunks /
+    # group_topk / tfidf_top_terms / fd_check — all r4 hash-green,
+    # unchanged in r5, still in the local gate
+    "transition_repeat", "replay_pchart", "salt_plan", "ship_consistency",
+    "split_leak", "rule_pass_rates", "value_quantile_drift",
     "stats_hll",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
     # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore
     "streaming_interval_join",
     "role_structure", "dedup_containment", "reconcile_totals",
-    # new this round
-    "contamination_ngram", "kmeans_train", "drift_ks", "dedup_url",
-    "token_chunks", "group_topk", "tfidf_top_terms", "fd_check",
+    # r4 additions still in-window
+    "kmeans_train",
     "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of

@@ -1,0 +1,357 @@
+"""Round-5 validator-tier queries: adjacent-repeat transition rule,
+per-day replay-rate p-chart, salting recommendations, cross-table ship
+-date consistency, split-leak audit, per-rule pass-rate report, and
+per-day numeric quantile drift.
+
+Same driver contract as every other plans module: (callable, oracle
+SQL) pairs over the driver testdata, every computed column aliased
+identically on both sides, counts cast bigint, floats rounded 4-6 dp.
+Transcript-shaped inputs reuse monitor_queries' canonical events→turns
+projection so the twins replay the identical derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.plans.constants import LANGS
+from sgb_data_validator_spark.plans.monitor_queries import _SQL_TURNS, _t, _turns
+
+# ------------------------------------------------ transition legality
+
+def q_transition_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent same-role turns as violation rows
+    (operators/windows.py:repeat_transition_violations) — the legality
+    complement of the role-transition matrix: a repeat marks a dropped
+    turn, a merge artifact, or role-label corruption. Same skew-safe
+    (conv_id, turn_idx+1) self-join as role_transitions."""
+    from sgb_data_validator_spark.operators.windows import (
+        repeat_transition_violations,
+    )
+
+    return repeat_transition_violations(_turns(_t(spark, sf_dir, "events")))
+
+
+SQL_TRANSITION_REPEAT = f"""
+WITH turns AS ({_SQL_TURNS})
+SELECT 'transition.repeat' AS rule_id,
+       a.conv_id,
+       cast(a.turn_idx + 1 AS int) AS turn_idx,
+       'role' AS "column",
+       a.role || '->' || b.role AS offending_value,
+       'warning' AS severity
+FROM turns a JOIN turns b
+  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.role = b.role
+"""
+
+
+# ------------------------------------------------ replay-rate p-chart
+
+def q_replay_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day replay rate with binomial p-chart limits: the defect is
+    a repeated (user, event_type, hour) triple — the same action by the
+    same user inside one hour, the burst/replay shape ingest retries
+    and client loops produce. Defects per day = rows − distinct keys,
+    computed as Σ(cnt−1) over a (day, key) pre-aggregation so the fact
+    collapses BEFORE the day-level rollup (two shrinking shuffles, the
+    text payload in neither); the p-chart math is the shared
+    operators/stats.py:pchart_from_counts core — limits tighten on big
+    days exactly as the violation p-chart's do."""
+    from sgb_data_validator_spark.operators.stats import pchart_from_counts
+
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per = per_key.groupBy("part").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") - 1).alias("defects"),
+    )
+    return pchart_from_counts(per, k=3.0).select(
+        "part",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("defects").cast("bigint").alias("defects"),
+        "rate",
+        "pooled_rate",
+        "z",
+        "status",
+    )
+
+
+SQL_REPLAY_PCHART = """
+WITH k AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part, user_id, event_type,
+         date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3, 4
+), per AS (
+  SELECT part, cast(sum(cnt) AS bigint) AS n,
+         cast(sum(cnt - 1) AS bigint) AS defects
+  FROM k GROUP BY 1
+), pooled AS (
+  SELECT part, n, defects,
+         sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
+  FROM per
+)
+SELECT part, n, defects,
+       round(defects / cast(n AS double), 6) AS rate,
+       round(pooled_rate, 6) AS pooled_rate,
+       round((defects / cast(n AS double) - pooled_rate)
+             / sqrt(pooled_rate * (1 - pooled_rate) / n), 4) AS z,
+       CASE WHEN abs((defects / cast(n AS double) - pooled_rate)
+                     / sqrt(pooled_rate * (1 - pooled_rate) / n)) > 3.0
+            THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
+FROM pooled
+"""
+
+
+# ------------------------------------------------ salting plan
+
+#: rows-per-task budget the driver fixture's salt plan is sized for —
+#: small because the sf0.01 events table has ~66 rows/user; production
+#: callers pass their own budget (e.g. 2_000_000 rows/task at 10^12).
+SALT_TARGET_ROWS = 72
+
+
+def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting recommendations for the conversation key
+    (operators/audit.py:salt_plan): every user whose event count
+    exceeds the rows-per-task budget gets the salt factor that brings
+    its largest shard back under it — the decision step between
+    skew_report's measurement and the salted uniqueness repartition."""
+    from sgb_data_validator_spark.operators.audit import salt_plan
+
+    return salt_plan(
+        _t(spark, sf_dir, "events"), "user_id", target_rows=SALT_TARGET_ROWS
+    ).select(F.col("user_id").cast("bigint").alias("user_id"), "cnt", "salt_factor")
+
+
+SQL_SALT_PLAN = f"""
+SELECT user_id, cast(count(*) AS bigint) AS cnt,
+       cast(ceil(count(*) / {SALT_TARGET_ROWS}.0) AS int) AS salt_factor
+FROM events GROUP BY 1 HAVING count(*) > {SALT_TARGET_ROWS}
+"""
+
+
+# ------------------------------------------------ ship-date consistency
+
+def q_ship_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal consistency report: per order-month, the
+    rate of lineitems shipped BEFORE their order date (an impossible
+    sequence — clock skew or key corruption) and beyond a 120-day
+    fulfilment window (stale rows). The child joins its parent on the
+    key both tables are naturally clustered by (orderkey — a
+    co-partitioned sort-merge join at scale, no broadcast needed on two
+    facts), and the output is O(months): violations are REPORTED as
+    per-partition rates rather than row-by-row because at 10^12 rows a
+    rule this frequent would emit a violations table the size of the
+    fact (row-level listing stays available via the same predicate in
+    a RowRuleSet when counts warrant it)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    early = F.col("l_shipdate") < F.col("o_orderdate")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 120)
+    return (
+        j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(early.cast("int")).cast("bigint").alias("early_ship"),
+            F.sum(late.cast("int")).cast("bigint").alias("late_window"),
+        )
+        .select(
+            "month",
+            "n_lines",
+            "early_ship",
+            "late_window",
+            F.round(F.col("early_ship") / F.col("n_lines"), 6).alias("early_rate"),
+            F.round(F.col("late_window") / F.col("n_lines"), 6).alias("late_rate"),
+        )
+    )
+
+
+SQL_SHIP_CONSISTENCY = """
+WITH j AS (
+  SELECT o.o_orderdate, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       cast(count(*) AS bigint) AS n_lines,
+       cast(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS bigint) AS early_ship,
+       cast(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) AS bigint) AS late_window,
+       round(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) / cast(count(*) AS double), 6) AS early_rate,
+       round(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY THEN 1 ELSE 0 END) / cast(count(*) AS double), 6) AS late_rate
+FROM j GROUP BY 1
+"""
+
+
+# ------------------------------------------------ split-leak audit
+
+def q_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of an EXISTING split column for contamination: group docs
+    by content fingerprint and surface fingerprints spanning more than
+    one split. The split under audit here is the pathological baseline
+    split_assign exists to replace — a 50/50 id-keyed hash — so the
+    leaks this finds are exactly the ones a content-keyed split
+    prevents by construction (and q_split_assign's own output audits to
+    zero leaking fingerprints under the same check). One fingerprint-
+    keyed shuffle; the per-group split set is bounded by the number of
+    splits, never by group size."""
+    from sgb_data_validator_spark.operators.dedup import (
+        canonical_fingerprint,
+        portable_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 2
+    f = docs.select(
+        canonical_fingerprint(F.col("text")).alias("fp"),
+        F.when(bucket == 0, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    return (
+        f.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
+    )
+
+
+SQL_SPLIT_LEAK = """
+WITH f AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp,
+         CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2) = 0
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT fp, cast(count(*) AS bigint) AS n_docs,
+       cast(count(DISTINCT split) AS bigint) AS n_splits,
+       array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+FROM f GROUP BY 1 HAVING count(DISTINCT split) > 1
+"""
+
+
+# ------------------------------------------------ per-rule pass rates
+
+#: pass-rate tolerance for the driver report — 'mostly' semantics: a
+#: rule PASSes when at least this fraction of rows satisfy it.
+PASS_RATE_MOSTLY = 0.995
+
+
+def q_rule_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite view of the q_row_rules rule set
+    (operators/rules.py:RowRuleSet.pass_rates): per-rule n / failures /
+    pass_rate / PASS-or-FAIL vs the 'mostly' tolerance, in ONE fused
+    scan (each rule is a conditional sum in the same projection).
+    failures per rule equals q_row_rules' violation count per rule by
+    construction — same predicates, same parse gating."""
+    from sgb_data_validator_spark.operators import rules as R
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = R.RowRuleSet().add(
+        R.not_null("text"),
+        R.non_empty("text"),
+        R.in_vocabulary("lang", LANGS),
+        R.no_url_in_text("text"),
+        R.matches_regex("source", r"^src[0-9]+$"),
+    )
+    return rs.pass_rates(docs, mostly=PASS_RATE_MOSTLY)
+
+
+def _sql_rule_pass_rates() -> str:
+    vocab = ", ".join(repr(x) for x in LANGS)
+    url_re = r"(?i)(?:https?://|ftp://|www\.)[^\s]+"
+    rules = {
+        "not_null.text": "text IS NULL",
+        "non_empty.text": "text IS NOT NULL AND trim(text) = ''",
+        "vocab.lang": f"parse_ok AND lang IS NOT NULL AND lang NOT IN ({vocab})",
+        "url_in_text.text": f"parse_ok AND text IS NOT NULL AND regexp_matches(text, '{url_re}')",
+        "regex.source": "parse_ok AND source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')",
+    }
+    sums = ",\n         ".join(
+        f"cast(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS bigint) AS f{i}"
+        for i, cond in enumerate(rules.values())
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT '{rid}' AS rule_id, n, f{i} AS failures,\n"
+        f"       round(1.0 - f{i} / cast(n AS double), 6) AS pass_rate,\n"
+        f"       CASE WHEN 1.0 - f{i} / cast(n AS double) >= {PASS_RATE_MOSTLY}\n"
+        f"            THEN 'PASS' ELSE 'FAIL' END AS status FROM one"
+        for i, rid in enumerate(rules)
+    )
+    return f"""
+WITH base AS (
+  SELECT *, (text IS NOT NULL AND trim(text) <> '') AS parse_ok FROM documents
+), one AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         {sums}
+  FROM base
+)
+{arms}
+"""
+
+
+SQL_RULE_PASS_RATES = _sql_rule_pass_rates()
+
+
+# ------------------------------------------------ numeric quantile drift
+
+def q_value_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90 of the numeric `value` column with the absolute
+    p50 displacement from the median of daily medians — the
+    numeric-axis drift member (KL/PSI/JS see category frequencies,
+    KS/W1 see bucketized histograms; a location shift in a continuous
+    column is most directly read off its daily quantiles). Exact
+    percentiles so DuckDB mirrors bit-for-bit; the 10^12-row path swaps
+    in percentile_approx exactly as q_quantiles documents. The
+    reference center is an aggregate OF the O(days) frame (one
+    broadcast row), so the fact is scanned once."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50_raw"),
+        F.percentile("value", F.lit(0.9)).alias("p90_raw"),
+    )
+    ref = per.agg(F.percentile("p50_raw", F.lit(0.5)).alias("ref_p50"))
+    return per.crossJoin(F.broadcast(ref)).select(
+        "part",
+        "n",
+        F.round("p50_raw", 4).alias("p50"),
+        F.round("p90_raw", 4).alias("p90"),
+        F.round(F.abs(F.col("p50_raw") - F.col("ref_p50")), 4).alias("p50_shift"),
+    )
+
+
+SQL_VALUE_QUANTILE_DRIFT = """
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         quantile_cont(value, 0.5) AS p50_raw,
+         quantile_cont(value, 0.9) AS p90_raw
+  FROM events GROUP BY 1
+), ref AS (
+  SELECT quantile_cont(p50_raw, 0.5) AS ref_p50 FROM per
+)
+SELECT part, n,
+       round(p50_raw, 4) AS p50,
+       round(p90_raw, 4) AS p90,
+       round(abs(p50_raw - ref_p50), 4) AS p50_shift
+FROM per CROSS JOIN ref
+"""
+
+
+VALIDATOR_QUERIES: dict[str, tuple] = {
+    "transition_repeat": (q_transition_repeat, SQL_TRANSITION_REPEAT),
+    "replay_pchart": (q_replay_pchart, SQL_REPLAY_PCHART),
+    "salt_plan": (q_salt_plan, SQL_SALT_PLAN),
+    "ship_consistency": (q_ship_consistency, SQL_SHIP_CONSISTENCY),
+    "split_leak": (q_split_leak, SQL_SPLIT_LEAK),
+    "rule_pass_rates": (q_rule_pass_rates, SQL_RULE_PASS_RATES),
+    "value_quantile_drift": (q_value_quantile_drift, SQL_VALUE_QUANTILE_DRIFT),
+}

@@ -1,0 +1,243 @@
+"""Round-5 validator-tier operators: adjacent-repeat transition rule
+(attribution + adjacency adversaries), salting plan (hand-computed
+ceil factors, argument validation), per-rule pass rates (equality with
+the violations view, empty-frame semantics, mostly boundary), split
+leak (constructed dup pairs across / within id buckets), ship-window
+boundary dates, replay defects, and exact daily quantile drift —
+hand-computed truths on constructed frames."""
+
+import hashlib
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from sgb_data_validator_spark.operators import rules as R
+from sgb_data_validator_spark.operators.audit import salt_plan
+from sgb_data_validator_spark.operators.windows import repeat_transition_violations
+
+
+def _turns(spark, convs: dict[str, list[str]]):
+    rows = [
+        (cid, i, role) for cid, roles in convs.items() for i, role in enumerate(roles)
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+
+
+# ------------------------------------------------- transition repeats
+
+def test_repeat_transitions_flag_second_turn(spark):
+    t = _turns(spark, {"c1": ["user", "user", "assistant", "assistant", "user"]})
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.offending_value)
+        for r in repeat_transition_violations(t).collect()
+    )
+    # repeats at (0,1) and (2,3); the violation carries the SECOND index
+    assert got == [("c1", 1, "user->user"), ("c1", 3, "assistant->assistant")]
+    row = repeat_transition_violations(t).first()
+    assert row.rule_id == "transition.repeat" and row.severity == "warning"
+
+
+def test_repeat_transitions_ignore_cross_conversation_adjacency(spark):
+    # same role at the boundary of two conversations is NOT a repeat
+    t = _turns(spark, {"a": ["user"], "b": ["user"]})
+    assert repeat_transition_violations(t).count() == 0
+
+
+def test_repeat_transitions_alternating_clean(spark):
+    t = _turns(spark, {"c": ["user", "assistant"] * 5})
+    assert repeat_transition_violations(t).count() == 0
+
+
+# ------------------------------------------------- salt plan
+
+def test_salt_plan_hand_computed(spark):
+    rows = [("hot",)] * 10 + [("warm",)] * 5 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: (r.cnt, r.salt_factor) for r in salt_plan(df, "k", 4).collect()}
+    # 10/4 -> ceil 3; 5/4 -> ceil 2; 2 <= 4 -> not emitted
+    assert got == {"hot": (10, 3), "warm": (5, 2)}
+
+
+def test_salt_plan_exact_budget_not_salted(spark):
+    df = spark.createDataFrame([("k",)] * 4, "k string")
+    assert salt_plan(df, "k", 4).count() == 0  # cnt == target is within budget
+
+
+def test_salt_plan_rejects_nonpositive_target(spark):
+    df = spark.createDataFrame([("k",)], "k string")
+    with pytest.raises(ValueError):
+        salt_plan(df, "k", 0)
+
+
+# ------------------------------------------------- pass rates
+
+def _doc_rules() -> R.RowRuleSet:
+    return R.RowRuleSet().add(
+        R.not_null("text"),
+        R.non_empty("text"),
+        R.in_vocabulary("lang", ["en", "de"]),
+    )
+
+
+def _docs(spark):
+    rows = [
+        (1, "fine text", "en"),
+        (2, None, "en"),        # not_null fails
+        (3, "  ", "de"),        # non_empty fails
+        (4, "ok", "zh"),        # vocab fails
+        (5, "ok too", "zh"),    # vocab fails
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_pass_rates_match_violations_view(spark):
+    rs, docs = _doc_rules(), _docs(spark)
+    by_rule = {
+        r.rule_id: r.cnt
+        for r in rs.violations(docs, key_cols=("doc_id",), part_col=None)
+        .groupBy("rule_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = {r.rule_id: r for r in rs.pass_rates(docs, mostly=0.9).collect()}
+    assert set(got) == {"not_null.text", "non_empty.text", "vocab.lang"}
+    for rid, row in got.items():
+        assert row.failures == by_rule.get(rid, 0), rid
+        assert row.n == 5
+        assert row.pass_rate == round(1.0 - row.failures / 5, 6)
+    # 2/5 vocab failures -> 0.6 < 0.9 FAIL; 1/5 -> 0.8 < 0.9 FAIL
+    assert got["vocab.lang"].status == "FAIL"
+    # mostly boundary: pass_rate == mostly is a PASS
+    boundary = {
+        r.rule_id: r.status for r in rs.pass_rates(docs, mostly=0.8).collect()
+    }
+    assert boundary["not_null.text"] == "PASS"  # 0.8 >= 0.8
+
+
+def test_pass_rates_empty_frame_all_pass(spark):
+    rs = _doc_rules()
+    empty = _docs(spark).where("1=0")
+    for r in rs.pass_rates(empty).collect():
+        assert r.n == 0 and r.failures == 0
+        assert r.pass_rate == 1.0 and r.status == "PASS"
+
+
+# ------------------------------------------------- split leak
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 2
+
+
+def test_split_leak_shape(spark):
+    # two identical texts with doc_ids hashing to DIFFERENT buckets leak;
+    # two identical texts in the SAME bucket don't
+    ids = list(range(100))
+    a = next(i for i in ids if _bucket(i) == 0)
+    b = next(i for i in ids if _bucket(i) == 1)
+    same = [i for i in ids if _bucket(i) == 0 and i != a][:2]
+    rows = [
+        (a, "dup text one"),
+        (b, "dup text one"),        # leaks: buckets 0 and 1
+        (same[0], "dup text two"),
+        (same[1], "dup text two"),  # same bucket: no leak
+        (99, "unique text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from sgb_data_validator_spark.operators.dedup import (
+        canonical_fingerprint,
+        portable_hash,
+    )
+
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 2
+    f = docs.select(
+        canonical_fingerprint(F.col("text")).alias("fp"),
+        F.when(bucket == 0, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    leaks = (
+        f.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
+        .collect()
+    )
+    assert len(leaks) == 1
+    assert leaks[0].n_docs == 2 and leaks[0].splits == "test,train"
+
+
+# ------------------------------------------------- ship window boundary
+
+def test_ship_window_boundaries(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (1, base),                            # shipdate == orderdate: clean
+        (2, base + dt.timedelta(days=120)),   # exactly at window edge: clean
+        (3, base + dt.timedelta(days=121)),   # one past: late
+        (4, base - dt.timedelta(days=1)),     # before order: early
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_shipdate date")
+    orders = spark.createDataFrame([(k, base) for k, _ in rows],
+                                   "o_orderkey long, o_orderdate date").distinct()
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    early = (F.col("l_shipdate") < F.col("o_orderdate")).cast("int")
+    late = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 120)).cast("int")
+    got = j.agg(F.sum(early).alias("e"), F.sum(late).alias("l")).first()
+    assert (got.e, got.l) == (1, 1)
+
+
+# ------------------------------------------------- replay defects
+
+def test_replay_defects_count_repeats_only(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, "click", t0),
+        (1, "click", t0 + dt.timedelta(minutes=5)),   # same hour: replay
+        (1, "click", t0 + dt.timedelta(hours=2)),     # new hour: clean
+        (2, "view", t0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    per = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("part"),
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("part")
+        .agg(F.sum("cnt").alias("n"), F.sum(F.col("cnt") - 1).alias("defects"))
+        .first()
+    )
+    assert (per.n, per.defects) == (4, 1)
+
+
+# ------------------------------------------------- quantile drift
+
+def test_daily_quantiles_exact(spark):
+    import datetime as dt
+
+    vals = {1: [1.0, 2.0, 3.0, 4.0], 2: [10.0, 20.0, 30.0]}
+    rows = [
+        (dt.datetime(2024, 1, day, 12, 0), v)
+        for day, vs in vals.items()
+        for v in vs
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    per = {
+        r.part: (r.p50, r.n)
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        )
+        .collect()
+    }
+    assert per["2024-01-01"] == (round(statistics.median(vals[1]), 4), 4)
+    assert per["2024-01-02"] == (round(statistics.median(vals[2]), 4), 3)
