@@ -82,6 +82,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(default 0.005 = half a percentage point)",
     )
     p.add_argument(
+        "--partition-consistency",
+        action="store_true",
+        help="also flag rows whose partition key disagrees with date(ts) "
+        "(misrouted writes; emits part.ts_mismatch errors; folded into "
+        "the fused row-rule scan — zero extra passes)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -225,6 +232,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         reconcile_manifest=args.reconcile_manifest,
         fill_rate_drift=args.fill_rate_drift,
         fill_rate_tol=args.fill_rate_tol,
+        partition_consistency=args.partition_consistency,
     )
     sinks.write_all(result, args.out)
     elapsed = time.perf_counter() - t0

@@ -165,6 +165,83 @@ def not_contains(column: str, needle: str, severity: str = SEV_WARNING, rule_id:
     )
 
 
+def partition_matches_ts(
+    part_col: str = "part",
+    ts_col: str = "ts",
+    severity: str = SEV_ERROR,
+) -> RowRule:
+    """The partition key must equal the event time's calendar day —
+    the misrouted-write check (late or clock-skewed data landed in the
+    wrong Iceberg partition corrupts every per-partition verdict,
+    ledger entry, and drift baseline downstream, silently). Fires when
+    both columns are non-null and ``date(ts)`` disagrees with ``part``;
+    NULL ts is not_null's job, NULL part means an unpartitioned write
+    and is out of this rule's scope. Pure single-pass row predicate in
+    the fused projection — zero extra scans."""
+    return RowRule(
+        rule_id="part.ts_mismatch",
+        column=part_col,
+        severity=severity,
+        predicate=lambda df: df[ts_col].isNotNull()
+        & df[part_col].isNotNull()
+        & (F.date_format(df[ts_col], "yyyy-MM-dd") != df[part_col].cast("string")),
+        value=lambda df: F.concat(
+            df[part_col].cast("string"),
+            F.lit(" != date("),
+            F.date_format(df[ts_col], "yyyy-MM-dd"),
+            F.lit(")"),
+        ),
+    )
+
+
+#: constructor registry for declarative suites — the names a config can
+#: use (the reference's checks are data-driven the same way: field pairs
+#: and vocabularies live in data, not code)
+RULE_CONSTRUCTORS: dict[str, Callable[..., RowRule]] = {
+    f.__name__: f
+    for f in (
+        not_null,
+        non_empty,
+        type_conformance,
+        matches_regex,
+        in_vocabulary,
+        no_url_in_text,
+        tool_role_consistency,
+        not_contains,
+        partition_matches_ts,
+    )
+}
+
+
+def rules_from_spec(spec: Sequence[dict]) -> "RowRuleSet":
+    """Build a rule set from declarative data — one dict per rule, the
+    ``rule`` key naming a RULE_CONSTRUCTORS entry and the rest passed
+    as keyword arguments:
+
+        rules_from_spec([
+            {"rule": "not_null", "column": "text"},
+            {"rule": "in_vocabulary", "column": "role",
+             "terms": ["user", "assistant"]},
+        ])
+
+    This is how a validation SUITE ships as config (JSON/YAML beside
+    the data) rather than code — the Spark-side analog of the
+    reference's data-driven vocabularies and required-field tables.
+    Unknown rule names raise immediately with the known names, so a
+    typo fails at suite load, not mid-job."""
+    rs = RowRuleSet()
+    for entry in spec:
+        kwargs = dict(entry)
+        name = kwargs.pop("rule", None)
+        ctor = RULE_CONSTRUCTORS.get(name)
+        if ctor is None:
+            raise ValueError(
+                f"unknown rule {name!r}; known: {sorted(RULE_CONSTRUCTORS)}"
+            )
+        rs.add(ctor(**kwargs))
+    return rs
+
+
 @dataclass
 class RowRuleSet:
     rules: list[RowRule] = field(default_factory=list)

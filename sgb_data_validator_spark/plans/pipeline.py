@@ -86,8 +86,16 @@ def compute_violations(
     opening_roles: tuple[str, ...] | None = ("system",),
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
+    partition_consistency: bool = False,
 ) -> DataFrame:
-    v = (row_rules or transcript_row_rules()).violations(t.turns)
+    rs = row_rules or transcript_row_rules()
+    if partition_consistency:
+        # opt-in (same contract as reconcile_manifest / fill_rate_drift:
+        # default OFF keeps recorded violation counts stable): the
+        # misrouted-write check part == date(ts). Folded into the FUSED
+        # row-rule projection, so enabling it costs zero extra scans.
+        rs = R.RowRuleSet(list(rs.rules)).add(R.partition_matches_ts())
+    v = rs.violations(t.turns)
     v = v.unionByName(uniqueness_violations(t.turns))
     if opening_roles:
         # conversation-structure argmin (conv.opening_role) — part of the
@@ -243,6 +251,7 @@ def validate(
     opening_roles: tuple[str, ...] | None = ("system",),
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
+    partition_consistency: bool = False,
 ) -> ValidationResult:
     violations = compute_violations(
         t,
@@ -251,6 +260,7 @@ def validate(
         opening_roles=opening_roles,
         fill_rate_drift=fill_rate_drift,
         fill_rate_tol=fill_rate_tol,
+        partition_consistency=partition_consistency,
     )
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)

@@ -241,3 +241,77 @@ def test_daily_quantiles_exact(spark):
     }
     assert per["2024-01-01"] == (round(statistics.median(vals[1]), 4), 4)
     assert per["2024-01-02"] == (round(statistics.median(vals[2]), 4), 3)
+
+
+# ------------------------------------------------- partition consistency
+
+def _pc_turns(spark):
+    import datetime as dt
+
+    rows = [
+        ("c1", 0, "user", "hi", None, dt.datetime(2026, 1, 5, 9, 0), "2026-01-05"),
+        ("c1", 1, "assistant", "yo", None, dt.datetime(2026, 1, 5, 23, 59), "2026-01-06"),  # misrouted
+        ("c2", 0, "user", "ok", None, None, "2026-01-05"),                                  # NULL ts: not this rule
+        ("c2", 1, "assistant", "k", None, dt.datetime(2026, 1, 5, 1, 0), None),             # NULL part: out of scope
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, part string",
+    )
+
+
+def test_partition_matches_ts_rule(spark):
+    rs = R.RowRuleSet().add(R.partition_matches_ts())
+    got = rs.violations(_pc_turns(spark)).collect()
+    assert len(got) == 1
+    v = got[0]
+    assert v.rule_id == "part.ts_mismatch" and v.conv_id == "c1" and v.turn_idx == 1
+    assert v.offending_value == "2026-01-06 != date(2026-01-05)"
+
+
+def test_partition_consistency_opt_in_zero_extra_scans(spark):
+    from sgb_data_validator_spark.plans.pipeline import (
+        TranscriptTables,
+        compute_violations,
+    )
+
+    t = TranscriptTables(turns=_pc_turns(spark))
+    base = compute_violations(t, opening_roles=None)
+    on = compute_violations(t, opening_roles=None, partition_consistency=True)
+    assert base.where("rule_id = 'part.ts_mismatch'").count() == 0
+    assert on.where("rule_id = 'part.ts_mismatch'").count() == 1
+    # default-path violation counts unchanged by the opt-in
+    assert (
+        on.where("rule_id <> 'part.ts_mismatch'").count() == base.count()
+    )
+    # the opt-in must not mutate the caller's rule set (copy-on-extend)
+    rs = R.RowRuleSet().add(R.not_null("text"))
+    compute_violations(t, row_rules=rs, opening_roles=None, partition_consistency=True)
+    assert [r.rule_id for r in rs.rules] == ["not_null.text"]
+
+
+# ------------------------------------------------- declarative suites
+
+def test_rules_from_spec_round_trip(spark):
+    spec = [
+        {"rule": "not_null", "column": "text"},
+        {"rule": "in_vocabulary", "column": "lang", "terms": ["en", "de"]},
+    ]
+    rs = R.rules_from_spec(spec)
+    hand = R.RowRuleSet().add(R.not_null("text"), R.in_vocabulary("lang", ["en", "de"]))
+    docs = _docs(spark)
+    got = sorted(
+        (r.rule_id, r.conv_id)
+        for r in rs.violations(docs, key_cols=("doc_id",), part_col=None).collect()
+    )
+    want = sorted(
+        (r.rule_id, r.conv_id)
+        for r in hand.violations(docs, key_cols=("doc_id",), part_col=None).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_rules_from_spec_unknown_rule_fails_at_load():
+    with pytest.raises(ValueError, match="unknown rule 'no_such'"):
+        R.rules_from_spec([{"rule": "no_such", "column": "x"}])
