@@ -727,6 +727,10 @@ _DRIVER_FRONT = [
     # unchanged in r5, still in the local gate
     "transition_repeat", "replay_pchart", "salt_plan", "ship_consistency",
     "split_leak", "rule_pass_rates", "value_quantile_drift",
+    # r5 batch 7: partition_checksums takes the slot of
+    # chunk_contamination (r4 hash-green, unchanged in r5, still in
+    # the local gate)
+    "partition_checksums",
     "stats_hll",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
@@ -735,7 +739,7 @@ _DRIVER_FRONT = [
     "role_structure", "dedup_containment", "reconcile_totals",
     # r4 additions still in-window
     "kmeans_train",
-    "chunk_contamination", "gopher_flags", "epoch_order", "pii_redact",
+    "gopher_flags", "epoch_order", "pii_redact",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,

@@ -346,6 +346,52 @@ FROM per CROSS JOIN ref
 """
 
 
+# ------------------------------------------------ partition checksums
+
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free per-day content checksum of the events table
+    (operators/stats.py:partition_checksums) — the artifact that
+    verifies a migrated/restored/replicated partition matches its
+    source without a row-by-row diff. Hash input is the portable
+    rendering of (user_id, event_type, second-truncated ts,
+    micro-quantized value) joined on the \\x1f unit separator, md5'd to
+    the 60-bit portable hash, reduced mod P, then exactly summed in
+    decimal — every step replayable by DuckDB."""
+    from sgb_data_validator_spark.operators.dedup import portable_hash
+    from sgb_data_validator_spark.operators.stats import partition_checksums
+
+    ev = _t(spark, sf_dir, "events")
+    rendered = F.concat_ws(
+        "\x1f",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.floor(F.col("value") * 1000000).cast("bigint").cast("string"),
+    )
+    return partition_checksums(
+        ev.withColumn("part", F.date_format("ts", "yyyy-MM-dd")),
+        "part",
+        portable_hash(rendered),
+    )
+
+
+SQL_PARTITION_CHECKSUMS = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         (('0x' || substr(md5(concat_ws(chr(31),
+              user_id::VARCHAR,
+              event_type,
+              strftime(ts, '%Y-%m-%d %H:%M:%S'),
+              cast(floor(value * 1000000) AS BIGINT)::VARCHAR)), 1, 15))::BIGINT
+          % 2147483647) AS hm
+  FROM events
+)
+SELECT part, cast(count(*) AS bigint) AS n_rows,
+       cast(sum(hm) % 2147483647 AS bigint) AS checksum
+FROM h GROUP BY 1
+"""
+
+
 VALIDATOR_QUERIES: dict[str, tuple] = {
     "transition_repeat": (q_transition_repeat, SQL_TRANSITION_REPEAT),
     "replay_pchart": (q_replay_pchart, SQL_REPLAY_PCHART),
@@ -354,4 +400,5 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "split_leak": (q_split_leak, SQL_SPLIT_LEAK),
     "rule_pass_rates": (q_rule_pass_rates, SQL_RULE_PASS_RATES),
     "value_quantile_drift": (q_value_quantile_drift, SQL_VALUE_QUANTILE_DRIFT),
+    "partition_checksums": (q_partition_checksums, SQL_PARTITION_CHECKSUMS),
 }

@@ -29,19 +29,52 @@ from pyspark.sql.types import StructType
 
 MANIFEST = "manifest.json"
 
+#: column types excluded from the backup checksum: JSON text round-trips
+#: of floats are not guaranteed bit-identical, so hashing them would
+#: flag healthy restores. Counts still cover those columns' rows.
+_NO_CHECKSUM_TYPES = ("float", "double", "decimal")
+
+
+def _checksum_expr(df: DataFrame):
+    """Order-free content checksum aggregate over the checksummable
+    columns (Σ (xxhash64 mod P) mod P, exact decimal sum — same
+    construction as operators/stats.py:partition_checksums, Spark-to-
+    Spark so the fast native hash is fine). None if no column
+    qualifies."""
+    from sgb_data_validator_spark.operators.stats import CHECKSUM_PRIME
+
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if not f.dataType.simpleString().startswith(_NO_CHECKSUM_TYPES)
+    ]
+    if not cols:
+        return None, []
+    p = F.lit(CHECKSUM_PRIME)
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), p).cast("decimal(38,0)")
+    return F.pmod(F.sum(h), p.cast("decimal(38,0)")).cast("bigint"), cols
+
 
 def backup_tables(tables: dict[str, DataFrame], backup_dir: str) -> dict:
-    """Write every table as JSON lines + a manifest with row counts and
-    schemas. Returns the manifest dict. Row counts are observed on the
-    write job (no second scan)."""
+    """Write every table as JSON lines + a manifest with row counts,
+    content checksums, and schemas. Returns the manifest dict. Counts
+    AND checksums are observed on the write job itself (no second
+    scan)."""
     manifest: dict = {"tables": {}}
     for name, df in tables.items():
         path = os.path.join(backup_dir, name)
         obs = Observation(f"backup_{name}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").json(path)
+        cks, cks_cols = _checksum_expr(df)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if cks is not None:
+            aggs.append(cks.alias("checksum"))
+        df.observe(obs, *aggs).write.mode("overwrite").json(path)
+        got = obs.get
         manifest["tables"][name] = {
             "path": path,
-            "rows": obs.get["rows"],
+            "rows": got["rows"],
+            "checksum": got.get("checksum"),
+            "checksum_cols": cks_cols,
             "schema": df.schema.json(),
         }
     os.makedirs(backup_dir, exist_ok=True)
@@ -65,12 +98,29 @@ def restore_tables(spark: SparkSession, backup_dir: str) -> dict[str, DataFrame]
 
 def verify_backup(spark: SparkSession, backup_dir: str) -> dict[str, dict]:
     """Dry-run check (the reference's restore dry_run=True): per table,
-    restored row count vs the manifest count."""
+    restored row count AND content checksum vs the manifest — a count
+    catches truncation, the checksum catches corruption/substitution.
+    One aggregation per table (count + checksum in the same pass);
+    manifests written before checksums existed verify by count only."""
     with open(os.path.join(backup_dir, MANIFEST)) as fh:
         manifest = json.load(fh)
     restored = restore_tables(spark, backup_dir)
     out = {}
     for name, meta in manifest["tables"].items():
-        n = restored[name].count()
-        out[name] = {"expected": meta["rows"], "restored": n, "ok": n == meta["rows"]}
+        df = restored[name]
+        expected_cks = meta.get("checksum")
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if expected_cks is not None:
+            cks, _ = _checksum_expr(df)
+            aggs.append(cks.alias("checksum"))
+        got = df.agg(*aggs).first()
+        entry = {
+            "expected": meta["rows"],
+            "restored": got["rows"],
+            "ok": got["rows"] == meta["rows"],
+        }
+        if expected_cks is not None:
+            entry["checksum_ok"] = got["checksum"] == expected_cks
+            entry["ok"] = entry["ok"] and entry["checksum_ok"]
+        out[name] = entry
     return out
