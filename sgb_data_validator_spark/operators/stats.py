@@ -373,6 +373,95 @@ def cusum_from_counts(
     )
 
 
+def ewma_from_counts(
+    per: DataFrame,
+    lam: float = 0.25,
+    L: float = 2.7,
+    target_rate: float | None = None,
+) -> DataFrame:
+    """EWMA control chart over a pre-aggregated, date-ordered (part, n,
+    defects) frame — the family member between Shewhart and CUSUM
+    (Roberts, Technometrics 1959): the p-/u-charts weight only the
+    current point, CUSUM weights all history equally; EWMA weights
+    history geometrically (``lam`` = weight on the newest point), so it
+    detects small-to-moderate persistent shifts faster than Shewhart
+    while forgetting ancient history that CUSUM drags forever.
+
+    The recurrence E_i = λ·z_i + (1−λ)·E_{i−1}, E_0 = 0 is rewritten in
+    its closed rescaled-scan form
+
+        E_i = λ · (1−λ)^i · Σ_{j≤i} z_j · (1−λ)^(−j)
+
+    so the whole chart is one cumulative window over the O(parts)
+    frame — no recursion — and an ANSI-SQL twin replays it bit-for-bit
+    (equivalence to the recurrence is property-tested against a
+    pure-Python replay). z_i is the same binomial standardization as
+    pchart_from_counts; the variance-corrected control limit is
+
+        ucl_i = L · sqrt(λ/(2−λ) · (1 − (1−λ)^(2i)))
+
+    (exact time-varying limits — tighter for the first few points —
+    rather than the asymptotic L·sqrt(λ/(2−λ))).
+
+    Numerical bound of the rescaled form: (1−λ)^(−j) overflows a double
+    at j ≈ 708/−ln(1−λ) (λ=0.25 ⇒ ~2,460 points). The chart frame is
+    O(days-or-partitions), not O(rows), so real series sit far below
+    that; a longer horizon should window the series (SPC charts are
+    rolling-window artifacts anyway) or raise λ.
+
+    ``target_rate`` is the in-control rate p₀ to standardize against
+    (same contract as cusum_from_counts); None pools it from the series
+    itself — on a two-regime series the pooled mean sits between the
+    regimes, so pass the known target when one exists.
+
+    Plan shape: identical to the sibling charts — callers holding
+    per-partition counts pay zero fact scans; every window is a
+    single-partition exchange of O(parts) rows."""
+    everything = Window.partitionBy()
+    by_part = Window.partitionBy().orderBy("part")
+    ordered = by_part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    one_minus = 1.0 - lam
+    pooled = per.withColumn(
+        "pooled_rate",
+        F.lit(float(target_rate))
+        if target_rate is not None
+        else F.sum("defects").over(everything) / F.sum("n").over(everything),
+    )
+    rate = F.col("defects") / F.col("n")
+    sigma = F.sqrt(
+        F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
+    )
+    scored = pooled.withColumn("_z", (rate - F.col("pooled_rate")) / sigma)
+    scanned = scored.select(
+        "part",
+        "n",
+        "defects",
+        "_z",
+        F.row_number().over(by_part).alias("_i"),
+        F.sum(
+            F.col("_z") * F.pow(F.lit(one_minus), -F.row_number().over(by_part))
+        )
+        .over(ordered)
+        .alias("_s"),
+    )
+    ewma = F.lit(lam) * F.pow(F.lit(one_minus), F.col("_i")) * F.col("_s")
+    ucl = F.lit(L) * F.sqrt(
+        F.lit(lam / (2.0 - lam))
+        * (F.lit(1.0) - F.pow(F.lit(one_minus * one_minus), F.col("_i")))
+    )
+    return scanned.select(
+        "part",
+        "n",
+        "defects",
+        F.round("_z", 4).alias("z"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(ucl, 4).alias("ucl"),
+        F.when(F.abs(ewma) > ucl, F.lit("OUT_OF_CONTROL"))
+        .otherwise(F.lit("IN_CONTROL"))
+        .alias("status"),
+    )
+
+
 def hll_partition_sketches(
     df: DataFrame,
     columns: list[str],

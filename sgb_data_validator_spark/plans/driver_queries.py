@@ -492,6 +492,82 @@ FROM v GROUP BY conv_id
 """
 
 
+def q_violation_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-3 exemplar rows per rule — the triage view of
+    the violations frame: a 10^12-row run emits billions of violation
+    rows, and the person deciding whether `vocab.lang` is a real
+    problem or a rule bug needs THREE concrete examples, not a count.
+    A total tie-break order (conv_id, turn_idx, offending_value —
+    NULLS FIRST pinned on both engines) makes the sample reproducible
+    run-over-run; the windows touch only the violation rows (never the
+    fact), on the same session-cached report view q_summary/q_pivot
+    share, so the exemplars ride an already-paid scan.
+
+    Skew shape (the group_topk two-phase, operators/sampling.py:98): a
+    plain row_number over rule_id would funnel a rule that fires on
+    10^10 of 10^12 rows into ONE task; instead phase 1 takes the top-3
+    of each of 16 hash-salted sub-groups (bounded task size regardless
+    of how hot the rule is), phase 2 re-ranks the ≤48 survivors per
+    rule — provably exact, because every global top-3 row is a top-3
+    row of its salt group. The DuckDB twin is the single-window form;
+    results are identical."""
+    from sgb_data_validator_spark.operators.dedup import portable_hash
+
+    v = _all_violations(spark, sf_dir)
+    order = (
+        F.col("conv_id").asc_nulls_first(),
+        F.col("turn_idx").asc_nulls_first(),
+        F.col("offending_value").asc_nulls_first(),
+    )
+    salt = (
+        portable_hash(
+            F.concat_ws(
+                "\x1f",
+                F.coalesce(F.col("conv_id"), F.lit("")),
+                F.coalesce(F.col("turn_idx").cast("string"), F.lit("")),
+                F.coalesce(F.col("offending_value"), F.lit("")),
+            )
+        )
+        % 16
+    )
+    w1 = Window.partitionBy("rule_id", "__salt").orderBy(*order)
+    w2 = Window.partitionBy("rule_id").orderBy(*order)
+    survivors = (
+        v.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= 3)
+        .drop("__rn", "__salt")
+    )
+    return (
+        survivors.withColumn("exemplar_rank", F.row_number().over(w2))
+        .where(F.col("exemplar_rank") <= 3)
+        .select(
+            "rule_id",
+            F.col("exemplar_rank").cast("int").alias("exemplar_rank"),
+            "conv_id",
+            "turn_idx",
+            "offending_value",
+            "severity",
+        )
+    )
+
+
+SQL_VIOLATION_EXEMPLARS = f"""
+WITH v AS ({_SQL_ALL_VIOLATIONS}),
+r AS (
+  SELECT rule_id, conv_id, turn_idx, offending_value, severity,
+         row_number() OVER (PARTITION BY rule_id
+                            ORDER BY conv_id ASC NULLS FIRST,
+                                     turn_idx ASC NULLS FIRST,
+                                     offending_value ASC NULLS FIRST) AS rnk
+  FROM v
+)
+SELECT rule_id, cast(rnk AS int) AS exemplar_rank,
+       conv_id, turn_idx, offending_value, severity
+FROM r WHERE rnk <= 3
+"""
+
+
 def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition pass/fail over events day partitions (vocab rule on
     event_type; 'error' type present every day ⇒ all FAILED — the
@@ -643,6 +719,7 @@ QUERIES: dict[str, tuple] = {
     "summary": (q_summary, SQL_SUMMARY),
     "pivot": (q_pivot, SQL_PIVOT),
     "verdicts": (q_verdicts, SQL_VERDICTS),
+    "violation_exemplars": (q_violation_exemplars, SQL_VIOLATION_EXEMPLARS),
     "role_structure": (q_role_structure, SQL_ROLE_STRUCTURE),
     "reconcile_totals": (q_reconcile_totals, SQL_RECONCILE_TOTALS),
     **TRAINING_QUERIES,
@@ -739,7 +816,11 @@ _DRIVER_FRONT = [
     "role_structure", "dedup_containment", "reconcile_totals",
     # r4 additions still in-window
     "kmeans_train",
-    "gopher_flags", "epoch_order", "pii_redact",
+    # r5 batch 8 (SPC completion + triage): ewma_chart / health_score /
+    # violation_exemplars take the slots of gopher_flags / epoch_order /
+    # pii_redact — all three r4 hash-green, unchanged in r5, still in
+    # the local gate
+    "ewma_chart", "health_score", "violation_exemplars",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,

@@ -620,6 +620,73 @@ FROM lim
 """
 
 
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over per-day out-of-vocab rates
+    (operators/stats.py:ewma_from_counts) — completes the SPC family:
+    Shewhart p-/u-charts (single ≥3σ day), CUSUM (persistent shift,
+    all history weighted equally), EWMA (geometrically-forgetting
+    shift detector, λ=0.25 weight on the newest day). Same one-scan
+    groupBy(day) as its siblings; the chart is one cumulative window
+    over the O(days) frame in closed rescaled-scan form, replayed
+    bit-for-bit by the SQL twin."""
+    from sgb_data_validator_spark.operators.stats import ewma_from_counts
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
+
+    ev = _t(spark, sf_dir, "events")
+    flag = ~F.col("event_type").isin(*EVENT_TYPES)
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag.cast("int")).alias("defects"),
+    )
+    return ewma_from_counts(per, lam=0.25, L=2.7).select(
+        "part",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("defects").cast("bigint").alias("defects"),
+        "z",
+        "ewma",
+        "ucl",
+        "status",
+    )
+
+
+def _sql_ewma_chart() -> str:
+    from sgb_data_validator_spark.plans.constants import EVENT_TYPES
+
+    vocab = ", ".join(repr(x) for x in EVENT_TYPES)
+    # λ=0.25 ⇒ 1−λ=0.75 and (1−λ)²=0.5625: exact binary fractions, so
+    # power() agrees bit-for-bit across engines for the chart's horizon
+    return f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS defects
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT part, n, defects,
+         (defects / cast(n AS double)
+          - sum(defects) OVER () / cast(sum(n) OVER () AS double))
+         / sqrt((sum(defects) OVER () / cast(sum(n) OVER () AS double))
+                * (1 - sum(defects) OVER () / cast(sum(n) OVER () AS double)) / n) AS z
+  FROM per
+), idx AS (
+  SELECT *, row_number() OVER (ORDER BY part) AS i FROM scored
+), scanned AS (
+  SELECT *, sum(z * power(0.75, -i)) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS s
+  FROM idx
+)
+SELECT part, n, defects, round(z, 4) AS z,
+       round(0.25 * power(0.75, i) * s, 4) AS ewma,
+       round(2.7 * sqrt(0.25 / 1.75 * (1 - power(0.5625, i))), 4) AS ucl,
+       CASE WHEN abs(0.25 * power(0.75, i) * s)
+                 > 2.7 * sqrt(0.25 / 1.75 * (1 - power(0.5625, i)))
+            THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
+FROM scanned
+"""
+
+
+SQL_EWMA_CHART = _sql_ewma_chart()
+
+
 MONITOR_QUERIES: dict[str, tuple] = {
     "drift_w1": (q_drift_w1, SQL_DRIFT_W1),
     "violation_pchart": (q_violation_pchart, SQL_VIOLATION_PCHART),
@@ -631,4 +698,5 @@ MONITOR_QUERIES: dict[str, tuple] = {
     "cusum_shift": (q_cusum_shift, SQL_CUSUM_SHIFT),
     "latency_profile": (q_latency_profile, SQL_LATENCY_PROFILE),
     "fill_drift": (q_fill_drift, SQL_FILL_DRIFT),
+    "ewma_chart": (q_ewma_chart, SQL_EWMA_CHART),
 }

@@ -1,7 +1,8 @@
 """Round-5 validator-tier queries: adjacent-repeat transition rule,
 per-day replay-rate p-chart, salting recommendations, cross-table ship
--date consistency, split-leak audit, per-rule pass-rate report, and
-per-day numeric quantile drift.
+-date consistency, split-leak audit, per-rule pass-rate report,
+per-day numeric quantile drift, order-free partition content
+checksums, and the per-partition severity-weighted health score.
 
 Same driver contract as every other plans module: (callable, oracle
 SQL) pairs over the driver testdata, every computed column aliased
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sgb_data_validator_spark.plans.constants import LANGS
+from sgb_data_validator_spark.plans.constants import EVENT_TYPES, LANGS
 from sgb_data_validator_spark.plans.monitor_queries import _SQL_TURNS, _t, _turns
 
 # ------------------------------------------------ transition legality
@@ -392,6 +393,68 @@ FROM h GROUP BY 1
 """
 
 
+# ------------------------------------------------ partition health score
+
+def q_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition data-quality health score: the severity-weighted
+    violation rate folded into ONE number per partition plus a letter
+    grade — the triage artifact a 10^12-turn validation run is actually
+    read through (nobody scrolls 10^9 violation rows; they sort
+    partitions by grade). Weights follow the standard severity ladder
+    (error=10, warning=1); the score is an exact integer so the grade
+    boundaries are engine-independent, and the per-1k normalization is
+    one double division. Both signal classes ride the SAME fused
+    single-scan projection (conditional sums, the rule_pass_rates
+    shape): one groupBy(day) over the fact, O(days) rows out."""
+    ev = _t(spark, sf_dir, "events")
+    err = (~F.col("event_type").isin(*EVENT_TYPES)).cast("int")
+    warn = (F.col("value") > 250.0).cast("int")
+    per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(err).cast("bigint").alias("errors"),
+        F.sum(warn).cast("bigint").alias("warnings"),
+    )
+    score = (F.col("errors") * 10 + F.col("warnings")).cast("bigint")
+    per_1k = F.round(score * 1000.0 / F.col("n"), 4)
+    return per.select(
+        "part",
+        "n",
+        "errors",
+        "warnings",
+        score.alias("score"),
+        per_1k.alias("score_per_1k"),
+        F.when(per_1k < 500.0, F.lit("A"))
+        .when(per_1k < 1000.0, F.lit("B"))
+        .when(per_1k < 2000.0, F.lit("C"))
+        .otherwise(F.lit("F"))
+        .alias("grade"),
+    )
+
+
+def _sql_health_score() -> str:
+    vocab = ", ".join(repr(x) for x in EVENT_TYPES)
+    return f"""
+WITH per AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS errors,
+         cast(sum(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS bigint) AS warnings
+  FROM events GROUP BY 1
+)
+SELECT part, n, errors, warnings,
+       cast(errors * 10 + warnings AS bigint) AS score,
+       round((errors * 10 + warnings) * 1000.0 / n, 4) AS score_per_1k,
+       CASE WHEN round((errors * 10 + warnings) * 1000.0 / n, 4) < 500.0 THEN 'A'
+            WHEN round((errors * 10 + warnings) * 1000.0 / n, 4) < 1000.0 THEN 'B'
+            WHEN round((errors * 10 + warnings) * 1000.0 / n, 4) < 2000.0 THEN 'C'
+            ELSE 'F' END AS grade
+FROM per
+"""
+
+
+SQL_HEALTH_SCORE = _sql_health_score()
+
+
 VALIDATOR_QUERIES: dict[str, tuple] = {
     "transition_repeat": (q_transition_repeat, SQL_TRANSITION_REPEAT),
     "replay_pchart": (q_replay_pchart, SQL_REPLAY_PCHART),
@@ -401,4 +464,5 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "rule_pass_rates": (q_rule_pass_rates, SQL_RULE_PASS_RATES),
     "value_quantile_drift": (q_value_quantile_drift, SQL_VALUE_QUANTILE_DRIFT),
     "partition_checksums": (q_partition_checksums, SQL_PARTITION_CHECKSUMS),
+    "health_score": (q_health_score, SQL_HEALTH_SCORE),
 }

@@ -317,3 +317,60 @@ def test_latency_profile_exact_percentiles(spark, tmp_path):
     assert abs(r.p50_s - 25.0) < 1e-9
     assert abs(r.p95_s - 38.5) < 1e-9
     assert abs(r.max_s - 40.0) < 1e-9
+
+
+# ------------------------------------------------- EWMA chart
+
+def test_ewma_closed_form_matches_recurrence(spark):
+    """The rescaled prefix-scan form == the textbook recurrence
+    E_i = λ·z_i + (1−λ)·E_{i−1} with time-varying limits
+    L·sqrt(λ/(2−λ)·(1−(1−λ)^{2i})), replayed in pure Python from the
+    same counts (pooled standardization, the driver-query deployment)."""
+    import random
+
+    from sgb_data_validator_spark.operators.stats import ewma_from_counts
+
+    rng = random.Random(11)
+    rows = [(f"d{i:02d}", 1000 + rng.randrange(9000), 0) for i in range(25)]
+    rows = [(p, n, rng.randrange(max(1, n // 50))) for p, n, _ in rows]
+    per = spark.createDataFrame(rows, "part string, n long, defects long")
+    lam, L = 0.25, 2.7
+    got = {r.part: r for r in ewma_from_counts(per, lam=lam, L=L).collect()}
+
+    pbar = sum(d for *_, d in rows) / sum(n for _, n, _ in rows)
+    e = 0.0
+    for i, (p, n, d) in enumerate(sorted(rows), start=1):
+        z = (d / n - pbar) / math.sqrt(pbar * (1 - pbar) / n)
+        e = lam * z + (1 - lam) * e
+        ucl = L * math.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * i)))
+        assert abs(got[p].ewma - e) < 1e-3, p
+        assert abs(got[p].ucl - ucl) < 1e-3, p
+        if abs(abs(e) - ucl) > 1e-6:  # skip knife-edge status flips
+            want = "OUT_OF_CONTROL" if abs(e) > ucl else "IN_CONTROL"
+            assert got[p].status == want, p
+
+
+def test_ewma_detects_shift_then_forgets(spark):
+    """The EWMA motivating case vs CUSUM: a 1% → 1.2% step (each day's
+    z ≈ 2.0σ, below every Shewhart limit) crosses the EWMA limit on
+    the 3rd shifted day — and once the rate REVERTS to target, the
+    chart returns IN_CONTROL within 4 days (E decays ×(1−λ)/day), the
+    geometric forgetting CUSUM's latched SHIFTED state lacks (see
+    test_cusum_catches_persistent_shift_shewhart_misses)."""
+    from sgb_data_validator_spark.operators.stats import ewma_from_counts
+
+    n = 10_000
+    rows = [(f"d{i:02d}", n, 100) for i in range(10)]          # at target
+    rows += [(f"d{10 + i:02d}", n, 120) for i in range(8)]     # 1.2% persists
+    rows += [(f"d{18 + i:02d}", n, 100) for i in range(6)]     # reverts
+    per = spark.createDataFrame(rows, "part string, n long, defects long")
+    got = {
+        r.part: r.status
+        for r in ewma_from_counts(per, lam=0.25, L=2.7, target_rate=0.01).collect()
+    }
+    assert all(got[f"d{i:02d}"] == "IN_CONTROL" for i in range(10))
+    assert got["d11"] == "IN_CONTROL"        # 2nd shifted day: not yet
+    assert got["d12"] == "OUT_OF_CONTROL"    # 3rd shifted day: crossed
+    assert got["d17"] == "OUT_OF_CONTROL"    # still out at shift end
+    assert got["d21"] == "IN_CONTROL"        # forgotten 4 days after reversion
+    assert got["d23"] == "IN_CONTROL"

@@ -391,3 +391,59 @@ def test_backup_manifest_checksum_round_trip(spark, tmp_path):
     out2 = verify_backup(spark, d)
     assert out2["t"]["restored"] == 2          # counts alone can't see it
     assert not out2["t"]["checksum_ok"] and not out2["t"]["ok"]
+
+
+# ------------------------------------------------- partition health score
+
+def test_health_score_grade_boundaries(spark, tmp_path):
+    """Hand-computed grades including every boundary (strict <): score
+    per 1k of exactly 500 / 1000 / 2000 lands in B / C / F."""
+    import datetime as dt
+
+    from sgb_data_validator_spark.plans.validator_queries import q_health_score
+
+    def day(d, n_clean, n_err, n_warn):
+        base = dt.datetime(2024, 3, d, 12, 0)
+        rows = []
+        rows += [(base, "click", 10.0)] * n_clean
+        rows += [(base, "error", 10.0)] * n_err
+        rows += [(base, "click", 300.0)] * n_warn   # value > 250 ⇒ warning
+        return rows
+
+    rows = (
+        day(1, 19, 0, 1)    # score 1  → 50/1k    → A
+        + day(2, 19, 1, 0)  # score 10 → 500/1k   → B (boundary)
+        + day(3, 9, 1, 10)  # score 20 → 1000/1k  → C (boundary)
+        + day(4, 16, 4, 0)  # score 40 → 2000/1k  → F (boundary)
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    d = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.part: r for r in q_health_score(spark, d).collect()}
+    assert (got["2024-03-01"].score, got["2024-03-01"].grade) == (1, "A")
+    assert (got["2024-03-02"].score, got["2024-03-02"].grade) == (10, "B")
+    assert (got["2024-03-03"].score, got["2024-03-03"].grade) == (20, "C")
+    assert (got["2024-03-04"].score, got["2024-03-04"].grade) == (40, "F")
+    assert got["2024-03-03"].warnings == 10 and got["2024-03-03"].errors == 1
+    assert all(r.n == 20 for r in got.values())
+
+
+# ------------------------------------------------- violation exemplars
+
+def test_violation_exemplars_deterministic_topk(spark):
+    """≤3 exemplars per rule, contiguous ranks from 1, and the exact
+    same rows on a re-run (the total tie-break order makes the sample
+    reproducible)."""
+    from sgb_data_validator_spark.plans.driver_queries import q_violation_exemplars
+
+    sf = "/root/testdata/sf0.001"
+    a = q_violation_exemplars(spark, sf).collect()
+    assert a, "driver testdata carries violations for every rule family"
+    per_rule = {}
+    for r in a:
+        per_rule.setdefault(r.rule_id, []).append(r)
+    for rid, rows in per_rule.items():
+        assert len(rows) <= 3, rid
+        assert sorted(x.exemplar_rank for x in rows) == list(range(1, len(rows) + 1)), rid
+    b = q_violation_exemplars(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
