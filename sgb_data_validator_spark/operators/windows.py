@@ -241,6 +241,46 @@ def opening_role_violations(
     return opening
 
 
+def closing_role_violations(
+    turns: DataFrame,
+    closing_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """``conv.closing_role`` — the argmax complement of
+    :func:`opening_role_violations`: a conversation's LAST turn
+    (maximum turn_idx) must carry one of ``closing_roles``. The
+    transcript-native "ended cleanly" rule — a conversation whose last
+    turn is a dangling user message or an error marks a truncated
+    export, a crashed agent, or a dropped final turn, none of which a
+    record-at-a-time validator can see.
+
+    Same plan shape as the opening rule: a map-side combined
+    max-of-struct argmax per conv_id — one narrow shuffle of
+    (conv_id, small-struct) rows, the hot Zipf conversation costs one
+    combiner cell per task, never a window sort; the fact is read
+    through a pruned (conv_id, turn_idx, role, part) projection.
+
+    Precondition: ``turn_idx`` unique per conversation at the maximum
+    (same contract as the opening rule; on a duplicate maximum the
+    argmax emits ONE row tie-broken lexicographically MAX by
+    (role, part), where a max(turn_idx)+join-back twin emits every
+    tied row — run the uniqueness rule first on unvalidated input)."""
+    closing = (
+        turns.groupBy("conv_id")
+        .agg(F.max(F.struct("turn_idx", "role", "part")).alias("_last"))
+        .where(~F.col("_last.role").isin(*closing_roles))
+        .select(
+            F.lit("conv.closing_role").alias("rule_id"),
+            F.col("conv_id").cast("string").alias("conv_id"),
+            F.col("_last.turn_idx").cast("int").alias("turn_idx"),
+            F.lit("role").alias("column"),
+            F.substring(F.col("_last.role"), 1, 80).alias("offending_value"),
+            F.lit(SEV_WARNING).alias("severity"),
+            F.col("_last.part").cast("string").alias("part"),
+        )
+    )
+    return closing
+
+
 def role_structure_violations(
     turns: DataFrame,
     opening_roles: tuple[str, ...] = ("system",),

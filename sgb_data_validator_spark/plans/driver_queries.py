@@ -821,12 +821,16 @@ _DRIVER_FRONT = [
     # pii_redact — all three r4 hash-green, unchanged in r5, still in
     # the local gate
     "ewma_chart", "health_score", "violation_exemplars",
+    # r5 batch 9 (closure rule + CI regression gate): closing_role /
+    # pass_rate_diff take the slots of cms_topk / token_entropy — both
+    # r4 hash-green, unchanged in r5, still in the local gate
+    "closing_role", "pass_rate_diff",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,
     # still in the local gate)
     "pagerank", "summary", "pivot", "streaming_enrichment",
-    "cms_topk", "token_entropy", "dedup_winnow", "knn_sq8",
+    "dedup_winnow", "knn_sq8",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",

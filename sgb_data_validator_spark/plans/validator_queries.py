@@ -393,6 +393,139 @@ FROM h GROUP BY 1
 """
 
 
+# ------------------------------------------------ closing-role rule
+
+def q_closing_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-closure rule over the events→transcript projection
+    (operators/windows.py:closing_role_violations): a conversation's
+    LAST turn must not be an 'error' — the argmax complement of the
+    opening-role rule, flagging conversations that ended in a crash /
+    truncation instead of a clean terminal event. Map-side combined
+    max-of-struct argmax per conv_id; the fact is read through the
+    pruned (conv_id, turn_idx, role, part) projection."""
+    from sgb_data_validator_spark.operators.windows import closing_role_violations
+
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+    )
+    return closing_role_violations(
+        turns, closing_roles=("view", "click", "purchase", "signup")
+    )
+
+
+SQL_CLOSING_ROLE = """
+WITH turns AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS role,
+         strftime(ts, '%Y-%m-%d') AS part
+  FROM events
+),
+last_turn AS (SELECT conv_id, max(turn_idx) AS turn_idx FROM turns GROUP BY 1)
+SELECT 'conv.closing_role' AS rule_id, t.conv_id,
+       cast(t.turn_idx AS int) AS turn_idx, 'role' AS "column",
+       substr(t.role, 1, 80) AS offending_value, 'warning' AS severity, t.part
+FROM turns t JOIN last_turn l
+  ON t.conv_id = l.conv_id AND t.turn_idx = l.turn_idx
+WHERE t.role NOT IN ('view', 'click', 'purchase', 'signup')
+"""
+
+
+# ------------------------------------------------ pass-rate regression
+
+def q_pass_rate_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run expectation-suite regression: this run's per-rule
+    pass rates vs a baseline run's, per-rule delta and a
+    REGRESSED / IMPROVED / STABLE verdict — the CI gate that catches a
+    rule whose pass rate slid 0.3% between ingests long before any
+    single partition trips a chart. Here the 'baseline run' is a
+    deterministic half-corpus (doc_id % 2 = 0) so the twin replays it;
+    in production the baseline side is the PREVIOUS run's stored
+    O(rules) pass-rate report — a table read, never a rescan — and the
+    diff is the same O(rules) join. Deltas are differences of
+    6dp-rounded rates, so the sign (the verdict) is engine-exact."""
+    from sgb_data_validator_spark.operators import rules as R
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = R.RowRuleSet().add(
+        R.not_null("text"),
+        R.non_empty("text"),
+        R.in_vocabulary("lang", LANGS),
+        R.no_url_in_text("text"),
+        R.matches_regex("source", r"^src[0-9]+$"),
+    )
+    cur = rs.pass_rates(docs, mostly=PASS_RATE_MOSTLY)
+    base = rs.pass_rates(docs.where(F.col("doc_id") % 2 == 0), mostly=PASS_RATE_MOSTLY)
+    j = cur.alias("c").join(base.alias("b"), "rule_id")
+    delta = F.round(F.col("c.pass_rate") - F.col("b.pass_rate"), 6)
+    return j.select(
+        "rule_id",
+        F.col("b.pass_rate").alias("pass_rate_base"),
+        F.col("c.pass_rate").alias("pass_rate_cur"),
+        delta.alias("delta"),
+        F.when(delta < 0, F.lit("REGRESSED"))
+        .when(delta > 0, F.lit("IMPROVED"))
+        .otherwise(F.lit("STABLE"))
+        .alias("status"),
+    )
+
+
+def _sql_pass_rate_diff() -> str:
+    vocab = ", ".join(repr(x) for x in LANGS)
+    url_re = r"(?i)(?:https?://|ftp://|www\.)[^\s]+"
+    rules = {
+        "not_null.text": "text IS NULL",
+        "non_empty.text": "text IS NOT NULL AND trim(text) = ''",
+        "vocab.lang": f"parse_ok AND lang IS NOT NULL AND lang NOT IN ({vocab})",
+        "url_in_text.text": f"parse_ok AND text IS NOT NULL AND regexp_matches(text, '{url_re}')",
+        "regex.source": "parse_ok AND source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')",
+    }
+
+    def side(name: str, where: str) -> str:
+        sums = ",\n         ".join(
+            f"cast(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS bigint) AS f{i}"
+            for i, cond in enumerate(rules.values())
+        )
+        arms = "\nUNION ALL ".join(
+            f"SELECT '{rid}' AS rule_id,\n"
+            f"       round(1.0 - f{i} / cast(n AS double), 6) AS pass_rate\n"
+            f"FROM {name}_one"
+            for i, rid in enumerate(rules)
+        )
+        return (
+            f"{name}_base AS (\n"
+            f"  SELECT *, (text IS NOT NULL AND trim(text) <> '') AS parse_ok\n"
+            f"  FROM documents{where}\n"
+            f"), {name}_one AS (\n"
+            f"  SELECT cast(count(*) AS bigint) AS n,\n         {sums}\n"
+            f"  FROM {name}_base\n"
+            f"), {name} AS (\n{arms}\n)"
+        )
+
+    return f"""
+WITH {side("cur", "")},
+{side("prev", " WHERE doc_id % 2 = 0")}
+SELECT c.rule_id,
+       p.pass_rate AS pass_rate_base,
+       c.pass_rate AS pass_rate_cur,
+       round(c.pass_rate - p.pass_rate, 6) AS delta,
+       CASE WHEN round(c.pass_rate - p.pass_rate, 6) < 0 THEN 'REGRESSED'
+            WHEN round(c.pass_rate - p.pass_rate, 6) > 0 THEN 'IMPROVED'
+            ELSE 'STABLE' END AS status
+FROM cur c JOIN prev p ON c.rule_id = p.rule_id
+"""
+
+
+SQL_PASS_RATE_DIFF = _sql_pass_rate_diff()
+
+
 # ------------------------------------------------ partition health score
 
 def q_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,4 +598,6 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "value_quantile_drift": (q_value_quantile_drift, SQL_VALUE_QUANTILE_DRIFT),
     "partition_checksums": (q_partition_checksums, SQL_PARTITION_CHECKSUMS),
     "health_score": (q_health_score, SQL_HEALTH_SCORE),
+    "closing_role": (q_closing_role, SQL_CLOSING_ROLE),
+    "pass_rate_diff": (q_pass_rate_diff, SQL_PASS_RATE_DIFF),
 }

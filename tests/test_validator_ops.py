@@ -447,3 +447,48 @@ def test_violation_exemplars_deterministic_topk(spark):
         assert sorted(x.exemplar_rank for x in rows) == list(range(1, len(rows) + 1)), rid
     b = q_violation_exemplars(spark, sf).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------- closing-role rule
+
+def test_closing_role_flags_last_turn_only(spark):
+    """Argmax semantics: only the conversation's LAST turn is judged —
+    an error mid-conversation is fine, an error at the end is flagged,
+    and the flag carries the last turn's index and part."""
+    from sgb_data_validator_spark.operators.windows import closing_role_violations
+
+    rows = [
+        ("c1", 0, "user", "d1"), ("c1", 1, "error", "d1"), ("c1", 2, "assistant", "d1"),
+        ("c2", 0, "user", "d1"), ("c2", 1, "error", "d2"),
+        ("c3", 0, "assistant", "d1"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, part string")
+    got = {r.conv_id: r for r in closing_role_violations(t, closing_roles=("assistant",)).collect()}
+    assert set(got) == {"c2"}
+    assert (got["c2"].turn_idx, got["c2"].offending_value, got["c2"].part) == (1, "error", "d2")
+    assert got["c2"].rule_id == "conv.closing_role"
+
+
+# ------------------------------------------------- pass-rate regression
+
+def test_pass_rate_diff_verdicts(spark, tmp_path):
+    """Constructed corpus where the 'current' full run is strictly
+    worse than the doc_id%2==0 baseline on one rule, better on none:
+    odd docs carry all the NULL texts, so not_null.text REGRESSED and
+    every rule untouched by the odd half is STABLE."""
+    from sgb_data_validator_spark.plans.validator_queries import q_pass_rate_diff
+
+    rows = []
+    for i in range(40):
+        text = None if (i % 2 == 1 and i < 8) else f"doc {i}"
+        rows.append((i, text, "en", f"src{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.rule_id: r for r in q_pass_rate_diff(spark, d).collect()}
+    assert got["not_null.text"].status == "REGRESSED"
+    assert got["not_null.text"].delta < 0
+    # baseline (even docs) has no NULLs at all
+    assert got["not_null.text"].pass_rate_base == 1.0
+    assert got["vocab.lang"].status == "STABLE" and got["vocab.lang"].delta == 0.0
+    assert got["regex.source"].status == "STABLE"
