@@ -281,3 +281,55 @@ def test_keep_best_single_exchange_two_windows(spark):
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2
     assert "Join" not in tree
+
+
+def test_health_score_single_fused_scan(spark):
+    """Both severity classes ride ONE fused conditional-sum aggregation:
+    one parquet scan, one partial/final HashAggregate pair, one
+    exchange — adding a signal class adds a column, not a pass."""
+    from sgb_data_validator_spark.plans.validator_queries import q_health_score
+
+    plan = (
+        q_health_score(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "Window" not in plan
+
+
+def test_closing_role_is_argmax_not_window(spark):
+    """The closure rule is a map-side combined max-of-struct argmax —
+    a hot Zipf conversation costs one combiner cell per task, never a
+    window sort of its turns. (The events→turns projection itself uses
+    one row_number Window to derive turn_idx; the RULE must add no
+    second one.)"""
+    from sgb_data_validator_spark.plans.validator_queries import q_closing_role
+
+    plan = (
+        q_closing_role(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1          # turn-derivation only
+    # struct-typed max compiles to SortAggregate (not hash-aggregable),
+    # but the scale property is the MAP-SIDE COMBINE: a partial_max
+    # runs before the exchange, so the hot conversation ships one
+    # combiner row per task, never its turn list
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 2        # derivation + the argmax, nothing else
+
+
+def test_ewma_chart_single_fact_exchange(spark):
+    """The chart input is one map-side-combined groupBy(day); every
+    chart window (z standardization, row index, rescaled scan) runs on
+    the O(days) frame behind a single-partition exchange — the fact is
+    scanned once and aggregated once."""
+    from sgb_data_validator_spark.plans.monitor_queries import q_ewma_chart
+
+    plan = (
+        q_ewma_chart(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2
