@@ -119,6 +119,43 @@ def in_vocabulary(column: str, terms: Sequence[str], severity: str = SEV_ERROR,
     )
 
 
+def in_range(
+    column: str,
+    lo=None,
+    hi=None,
+    severity: str = SEV_ERROR,
+    rule_id: str | None = None,
+) -> RowRule:
+    """Non-null value must satisfy lo ≤ value ≤ hi (either bound may be
+    open) — the expect-between primitive (frictionless table-schema
+    ``constraints: minimum/maximum``, Great Expectations'
+    ``expect_column_values_to_be_between``; the north rule's
+    "frictionless-style checks" family). Bounds are literals, so the
+    check is two codegen comparisons in the same fused projection as
+    every other row rule — works on numerics, timestamps, and dates
+    alike (Spark's literal comparison rules apply)."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs at least one bound (lo and/or hi)")
+
+    def pred(df):
+        c = df[column]
+        cond = None
+        if lo is not None:
+            cond = c < F.lit(lo)
+        if hi is not None:
+            over = c > F.lit(hi)
+            cond = over if cond is None else (cond | over)
+        return c.isNotNull() & cond
+
+    return RowRule(
+        rule_id=rule_id or f"range.{column}",
+        column=column,
+        severity=severity,
+        predicate=pred,
+        gated=True,
+    )
+
+
 def no_url_in_text(column: str, severity: str = SEV_WARNING) -> RowRule:
     """Literal text containing a URL ⇒ warning (validate.py:467-506)."""
     return RowRule(
@@ -205,6 +242,7 @@ RULE_CONSTRUCTORS: dict[str, Callable[..., RowRule]] = {
         type_conformance,
         matches_regex,
         in_vocabulary,
+        in_range,
         no_url_in_text,
         tool_role_consistency,
         not_contains,

@@ -281,6 +281,57 @@ def closing_role_violations(
     return closing
 
 
+def repeat_text_violations(
+    turns: DataFrame,
+    text_col: str = "text",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """``conv.repeat_text`` — the stuttering-agent rule: the SAME text
+    emitted ``min_repeats`` or more times within one conversation marks
+    a looping agent, a retrying client, or a merge that duplicated
+    turns. The repeat-transition rule sees consecutive same-ROLE turns;
+    this sees repeated CONTENT anywhere in the conversation, which
+    role-level rules cannot.
+
+    Scale shape: the text is fingerprinted IN-SCAN (the portable
+    md5-prefix hash dedup uses), then ONE narrow map-side-combined
+    groupBy(conv_id, fingerprint) of (turn_idx, part) pairs — the text
+    payload never enters the shuffle. One violation row per repeated
+    GROUP (anchored at its earliest turn via min-of-struct, count in
+    offending_value), never per repeated row: a stuck agent's
+    million-repeat loop must produce one row, not a million.
+
+    NULL/empty texts are excluded — emptiness is non_empty's job, and
+    a conversation of many empty turns is not "stuttering"."""
+    from sgb_data_validator_spark.operators.dedup import portable_hash
+    from sgb_data_validator_spark.operators.rules import SEV_WARNING
+
+    t = turns.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    g = (
+        t.groupBy(
+            "conv_id", portable_hash(F.col(text_col)).alias("__fp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("turn_idx", "part")).alias("_first"),
+        )
+        .where(F.col("__cnt") >= min_repeats)
+    )
+    return g.select(
+        F.lit("conv.repeat_text").alias("rule_id"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("_first.turn_idx").cast("int").alias("turn_idx"),
+        F.lit(text_col).alias("column"),
+        F.concat(F.lit("repeated x"), F.col("__cnt").cast("string")).alias(
+            "offending_value"
+        ),
+        F.lit(SEV_WARNING).alias("severity"),
+        F.col("_first.part").cast("string").alias("part"),
+    )
+
+
 def role_structure_violations(
     turns: DataFrame,
     opening_roles: tuple[str, ...] = ("system",),

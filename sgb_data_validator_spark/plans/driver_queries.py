@@ -825,12 +825,15 @@ _DRIVER_FRONT = [
     # pass_rate_diff take the slots of cms_topk / token_entropy — both
     # r4 hash-green, unchanged in r5, still in the local gate
     "closing_role", "pass_rate_diff",
+    # r5 batch 10 (range constraints + stutter rule): range_rule /
+    # repeat_text take the slots of dedup_winnow / knn_sq8 — both r4
+    # hash-green, unchanged in r5, still in the local gate
+    "range_rule", "repeat_text",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,
     # still in the local gate)
     "pagerank", "summary", "pivot", "streaming_enrichment",
-    "dedup_winnow", "knn_sq8",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",

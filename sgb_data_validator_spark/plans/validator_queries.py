@@ -526,6 +526,98 @@ FROM cur c JOIN prev p ON c.rule_id = p.rule_id
 SQL_PASS_RATE_DIFF = _sql_pass_rate_diff()
 
 
+# ------------------------------------------------ value-range rule
+
+def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expect-between primitive (operators/rules.py:in_range) in
+    the fused single-pass projection: events whose monetary value
+    falls outside [0.01, 250] and whose props-embedded k exceeds 5,
+    both as canonical violation rows from ONE scan — the frictionless
+    minimum/maximum constraint family the row-rule engine was missing.
+    The JSON field is extracted in the same projection (no pre-pass);
+    try_cast keeps malformed props NULL-safe under ANSI mode."""
+    from sgb_data_validator_spark.operators import rules as R
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "prop_k",
+        F.get_json_object("props", "$.k").try_cast("int"),
+    )
+    rs = R.RowRuleSet().add(
+        R.in_range("value", lo=0.01, hi=250.0, severity=R.SEV_WARNING),
+        R.in_range("prop_k", lo=0, hi=5, severity=R.SEV_WARNING),
+    )
+    return rs.violations(ev, key_cols=("event_id",), part_col=None)
+
+
+SQL_RANGE_RULE = """
+WITH ev AS (
+  SELECT event_id, value,
+         try_cast(json_extract_string(props, '$.k') AS int) AS prop_k
+  FROM events
+)
+SELECT 'range.value' AS rule_id, cast(event_id AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'value' AS "column",
+       substr(cast(value AS varchar), 1, 80) AS offending_value,
+       'warning' AS severity, cast(NULL AS varchar) AS part
+FROM ev WHERE value IS NOT NULL AND (value < 0.01 OR value > 250.0)
+UNION ALL
+SELECT 'range.prop_k', cast(event_id AS varchar), cast(NULL AS int), 'prop_k',
+       substr(cast(prop_k AS varchar), 1, 80), 'warning', cast(NULL AS varchar)
+FROM ev WHERE prop_k IS NOT NULL AND (prop_k < 0 OR prop_k > 5)
+"""
+
+
+# ------------------------------------------------ repeated-text rule
+
+def q_repeat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuttering-agent rule over the events→transcript projection
+    (operators/windows.py:repeat_text_violations): the same props
+    payload occurring twice within one user's event stream marks a
+    retry loop. Text fingerprinted in-scan; one narrow groupBy of
+    (conv_id, fp) — the payload never shuffles; one row per repeated
+    group anchored at its earliest turn."""
+    from pyspark.sql import Window
+
+    from sgb_data_validator_spark.operators.windows import repeat_text_violations
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.date_format("ts", "yyyy-MM-dd").alias("part"),
+    )
+    return repeat_text_violations(turns, text_col="text", min_repeats=2)
+
+
+SQL_REPEAT_TEXT = """
+WITH turns AS (
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         props AS text,
+         strftime(ts, '%Y-%m-%d') AS part
+  FROM events
+),
+g AS (
+  SELECT conv_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+         cast(count(*) AS bigint) AS cnt,
+         min(turn_idx) AS anchor_idx,
+         arg_min(part, turn_idx) AS anchor_part
+  FROM turns
+  WHERE text IS NOT NULL AND trim(text) <> ''
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT 'conv.repeat_text' AS rule_id, conv_id,
+       cast(anchor_idx AS int) AS turn_idx, 'text' AS "column",
+       'repeated x' || cast(cnt AS varchar) AS offending_value,
+       'warning' AS severity, anchor_part AS part
+FROM g
+"""
+
+
 # ------------------------------------------------ partition health score
 
 def q_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,4 +692,6 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "health_score": (q_health_score, SQL_HEALTH_SCORE),
     "closing_role": (q_closing_role, SQL_CLOSING_ROLE),
     "pass_rate_diff": (q_pass_rate_diff, SQL_PASS_RATE_DIFF),
+    "range_rule": (q_range_rule, SQL_RANGE_RULE),
+    "repeat_text": (q_repeat_text, SQL_REPEAT_TEXT),
 }

@@ -492,3 +492,54 @@ def test_pass_rate_diff_verdicts(spark, tmp_path):
     assert got["not_null.text"].pass_rate_base == 1.0
     assert got["vocab.lang"].status == "STABLE" and got["vocab.lang"].delta == 0.0
     assert got["regex.source"].status == "STABLE"
+
+
+# ------------------------------------------------- value-range rule
+
+def test_in_range_bounds_semantics(spark):
+    """Inclusive bounds: lo and hi themselves pass; outside either side
+    is flagged; NULL passes (not_null's job); one-sided bounds work;
+    no bounds at all is a construction error."""
+    rows = [(1, 0.01), (2, 250.0), (3, 0.009), (4, 250.1), (5, None), (6, 100.0)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    rs = R.RowRuleSet().add(R.in_range("value", lo=0.01, hi=250.0))
+    got = {r.conv_id for r in rs.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert got == {"3", "4"}
+
+    lo_only = R.RowRuleSet().add(R.in_range("value", lo=1.0))
+    got2 = {r.conv_id for r in lo_only.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert got2 == {"1", "3"}   # only below-lo rows; no upper bound
+
+    with pytest.raises(ValueError):
+        R.in_range("value")
+
+    # declarative spec path
+    suite = R.rules_from_spec([{"rule": "in_range", "column": "value", "lo": 0.01, "hi": 250.0}])
+    got3 = {r.conv_id for r in suite.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert got3 == {"3", "4"}
+
+
+# ------------------------------------------------- repeated-text rule
+
+def test_repeat_text_one_row_per_group_anchored_first(spark):
+    """A text repeated 3x in one conversation yields ONE violation row,
+    anchored at the earliest turn with its part; the same text in a
+    DIFFERENT conversation does not join the group; NULL/empty texts
+    never count as repeats."""
+    from sgb_data_validator_spark.operators.windows import repeat_text_violations
+
+    rows = [
+        ("c1", 0, "again", "d1"), ("c1", 1, "fresh", "d1"),
+        ("c1", 2, "again", "d2"), ("c1", 3, "again", "d2"),
+        ("c2", 0, "again", "d1"),               # other conversation
+        ("c3", 0, "", "d1"), ("c3", 1, "", "d1"),      # empty: excluded
+        ("c3", 2, None, "d1"), ("c3", 3, None, "d1"),  # NULL: excluded
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, part string")
+    got = repeat_text_violations(t).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.conv_id, r.turn_idx, r.offending_value, r.part) == ("c1", 0, "repeated x3", "d1")
+    assert r.rule_id == "conv.repeat_text" and r.severity == "warning"
+    # raising the threshold excludes the x3 group
+    assert repeat_text_violations(t, min_repeats=4).count() == 0
