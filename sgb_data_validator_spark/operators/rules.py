@@ -125,6 +125,7 @@ def in_range(
     hi=None,
     severity: str = SEV_ERROR,
     rule_id: str | None = None,
+    value_format: str | None = None,
 ) -> RowRule:
     """Non-null value must satisfy lo ≤ value ≤ hi (either bound may be
     open) — the expect-between primitive (frictionless table-schema
@@ -133,7 +134,11 @@ def in_range(
     "frictionless-style checks" family). Bounds are literals, so the
     check is two codegen comparisons in the same fused projection as
     every other row rule — works on numerics, timestamps, and dates
-    alike (Spark's literal comparison rules apply)."""
+    alike (Spark's literal comparison rules apply). ``value_format``
+    (printf-style, e.g. "%.6f") pins the offending_value rendering for
+    FLOAT columns — engine-native double→string differs between JVMs
+    and SQL engines in scientific-notation thresholds, so any
+    cross-engine replay of a float rule should pass it."""
     if lo is None and hi is None:
         raise ValueError("in_range needs at least one bound (lo and/or hi)")
 
@@ -147,11 +152,17 @@ def in_range(
             cond = over if cond is None else (cond | over)
         return c.isNotNull() & cond
 
+    value = (
+        (lambda df: F.format_string(value_format, df[column]))
+        if value_format
+        else None
+    )
     return RowRule(
         rule_id=rule_id or f"range.{column}",
         column=column,
         severity=severity,
         predicate=pred,
+        value=value,
         gated=True,
     )
 

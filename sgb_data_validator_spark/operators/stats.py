@@ -249,7 +249,12 @@ def pchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
     sigma = F.sqrt(
         F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
     )
-    z = (rate - F.col("pooled_rate")) / sigma
+    # degenerate series (pooled rate exactly 0 or 1 ⇒ sigma = 0): there
+    # is no variance to standardize against, and under ANSI mode the
+    # bare division would CRASH the whole report on a perfectly clean
+    # corpus — define z = 0 (in control by definition); same guard in
+    # every sibling chart and every SQL twin
+    z = F.when(sigma > 0, (rate - F.col("pooled_rate")) / sigma).otherwise(F.lit(0.0))
     return pooled.select(
         "part",
         "n",
@@ -277,7 +282,8 @@ def uchart_from_counts(per: DataFrame, k: float = 3.0) -> DataFrame:
     )
     u = F.col("defects") / F.col("n")
     sigma = F.sqrt(F.col("u_bar") / F.col("n"))
-    z = (u - F.col("u_bar")) / sigma
+    # ū = 0 ⇒ sigma = 0: clean corpus must not crash (see pchart note)
+    z = F.when(sigma > 0, (u - F.col("u_bar")) / sigma).otherwise(F.lit(0.0))
     return pooled.select(
         "part",
         "n",
@@ -349,7 +355,11 @@ def cusum_from_counts(
     sigma = F.sqrt(
         F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
     )
-    scored = pooled.withColumn("_z", (rate - F.col("pooled_rate")) / sigma)
+    scored = pooled.withColumn(
+        # sigma = 0 on a degenerate series: z = 0, see pchart_from_counts
+        "_z",
+        F.when(sigma > 0, (rate - F.col("pooled_rate")) / sigma).otherwise(F.lit(0.0)),
+    )
     scanned = scored.select(
         "part",
         "n",
@@ -431,7 +441,11 @@ def ewma_from_counts(
     sigma = F.sqrt(
         F.col("pooled_rate") * (1.0 - F.col("pooled_rate")) / F.col("n")
     )
-    scored = pooled.withColumn("_z", (rate - F.col("pooled_rate")) / sigma)
+    scored = pooled.withColumn(
+        # sigma = 0 on a degenerate series: z = 0, see pchart_from_counts
+        "_z",
+        F.when(sigma > 0, (rate - F.col("pooled_rate")) / sigma).otherwise(F.lit(0.0)),
+    )
     scanned = scored.select(
         "part",
         "n",

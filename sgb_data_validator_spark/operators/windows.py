@@ -304,7 +304,6 @@ def repeat_text_violations(
     NULL/empty texts are excluded — emptiness is non_empty's job, and
     a conversation of many empty turns is not "stuttering"."""
     from sgb_data_validator_spark.operators.dedup import portable_hash
-    from sgb_data_validator_spark.operators.rules import SEV_WARNING
 
     t = turns.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")

@@ -21,22 +21,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _turns(ev: DataFrame) -> DataFrame:
+def _turns(
+    ev: DataFrame,
+    with_part: bool = False,
+    text_col: str | None = None,
+) -> DataFrame:
     """The canonical events→transcript projection (matches
     q_role_structure / SQL_ROLE_STRUCTURE): conv per user, dense
-    turn_idx by (ts, event_id), role = event_type."""
+    turn_idx by (ts, event_id), role = event_type; ``with_part`` adds
+    the day-partition column, ``text_col`` carries an events column
+    through as the transcript's ``text``. ONE definition — every query
+    and twin that derives turns from events must route through this
+    family so a change to the canonical ordering lands everywhere at
+    once."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    cols = [
         F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
-    )
+    ]
+    if text_col:
+        cols.append(F.col(text_col).alias("text"))
+    if with_part:
+        cols.append(F.date_format("ts", "yyyy-MM-dd").alias("part"))
+    return ev.select(*cols)
 
 
 _SQL_TURNS = """
   SELECT 'u' || user_id::VARCHAR AS conv_id,
          cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
          event_type AS role
+  FROM events
+"""
+
+#: the with_part=True twin of _SQL_TURNS
+_SQL_TURNS_P = """
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role,
+         strftime(ts, '%Y-%m-%d') AS part
+  FROM events
+"""
+
+#: the with_part=True, text_col='props' twin
+_SQL_TURNS_P_TEXT = """
+  SELECT 'u' || user_id::VARCHAR AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         strftime(ts, '%Y-%m-%d') AS part
   FROM events
 """
 
@@ -138,16 +171,20 @@ WITH per AS (
   SELECT part, n, defects,
          sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
   FROM per
+), scored AS (
+  SELECT part, n, defects, pooled_rate,
+         CASE WHEN pooled_rate * (1 - pooled_rate) = 0 THEN 0.0
+              ELSE (defects / cast(n AS double) - pooled_rate)
+                   / sqrt(pooled_rate * (1 - pooled_rate) / n) END AS z
+  FROM pooled
 )
 SELECT part, n, defects,
        round(defects / cast(n AS double), 6) AS rate,
        round(pooled_rate, 6) AS pooled_rate,
-       round((defects / cast(n AS double) - pooled_rate)
-             / sqrt(pooled_rate * (1 - pooled_rate) / n), 4) AS z,
-       CASE WHEN abs((defects / cast(n AS double) - pooled_rate)
-                     / sqrt(pooled_rate * (1 - pooled_rate) / n)) > 3.0
+       round(z, 4) AS z,
+       CASE WHEN abs(z) > 3.0
             THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
-FROM pooled
+FROM scored
 """
 
 
@@ -324,14 +361,19 @@ WITH per AS (
   SELECT part, n, defects,
          sum(defects) OVER () / cast(sum(n) OVER () AS double) AS u_bar
   FROM per
+), scored AS (
+  SELECT part, n, defects, u_bar,
+         CASE WHEN u_bar = 0 THEN 0.0
+              ELSE (defects / cast(n AS double) - u_bar) / sqrt(u_bar / n) END AS z
+  FROM pooled
 )
 SELECT part, n, defects,
        round(defects / cast(n AS double), 6) AS rate,
        round(u_bar, 6) AS u_bar,
-       round((defects / cast(n AS double) - u_bar) / sqrt(u_bar / n), 4) AS z,
-       CASE WHEN abs((defects / cast(n AS double) - u_bar) / sqrt(u_bar / n)) > 3.0
+       round(z, 4) AS z,
+       CASE WHEN abs(z) > 3.0
             THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
-FROM pooled
+FROM scored
 """
 
 
@@ -457,24 +499,27 @@ WITH per AS (
          cast(count(*) AS bigint) AS n,
          cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS defects
   FROM events GROUP BY 1
+), pooled AS (
+  SELECT part, n, defects,
+         sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
+  FROM per
 ), scored AS (
   SELECT part, n, defects,
-         (defects / cast(n AS double)
-          - sum(defects) OVER () / cast(sum(n) OVER () AS double))
-         / sqrt((sum(defects) OVER () / cast(sum(n) OVER () AS double))
-                * (1 - sum(defects) OVER () / cast(sum(n) OVER () AS double)) / n) AS z
-  FROM per
+         CASE WHEN pooled_rate * (1 - pooled_rate) = 0 THEN 0.0
+              ELSE (defects / cast(n AS double) - pooled_rate)
+                   / sqrt(pooled_rate * (1 - pooled_rate) / n) END AS z
+  FROM pooled
 ), scanned AS (
   SELECT part, n, defects, z,
-         sum(z - 0.5) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS p,
-         sum(z + 0.5) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS q
+         sum(z - 0.5) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING) AS p,
+         sum(z + 0.5) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING) AS q
   FROM scored
 )
 SELECT part, n, defects, round(z, 4) AS z,
-       round(p - least(0.0, min(p) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)), 4) AS cusum_pos,
-       round(greatest(0.0, max(q) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) - q, 4) AS cusum_neg,
-       CASE WHEN p - least(0.0, min(p) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) > 4.0
-              OR greatest(0.0, max(q) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING)) - q > 4.0
+       round(p - least(0.0, min(p) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING)), 4) AS cusum_pos,
+       round(greatest(0.0, max(q) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING)) - q, 4) AS cusum_neg,
+       CASE WHEN p - least(0.0, min(p) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING)) > 4.0
+              OR greatest(0.0, max(q) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING)) - q > 4.0
             THEN 'SHIFTED' ELSE 'STABLE' END AS status
 FROM scanned
 """
@@ -661,17 +706,20 @@ WITH per AS (
          cast(count(*) AS bigint) AS n,
          cast(sum(CASE WHEN event_type NOT IN ({vocab}) THEN 1 ELSE 0 END) AS bigint) AS defects
   FROM events GROUP BY 1
+), pooled AS (
+  SELECT part, n, defects,
+         sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
+  FROM per
 ), scored AS (
   SELECT part, n, defects,
-         (defects / cast(n AS double)
-          - sum(defects) OVER () / cast(sum(n) OVER () AS double))
-         / sqrt((sum(defects) OVER () / cast(sum(n) OVER () AS double))
-                * (1 - sum(defects) OVER () / cast(sum(n) OVER () AS double)) / n) AS z
-  FROM per
+         CASE WHEN pooled_rate * (1 - pooled_rate) = 0 THEN 0.0
+              ELSE (defects / cast(n AS double) - pooled_rate)
+                   / sqrt(pooled_rate * (1 - pooled_rate) / n) END AS z
+  FROM pooled
 ), idx AS (
-  SELECT *, row_number() OVER (ORDER BY part) AS i FROM scored
+  SELECT *, row_number() OVER (ORDER BY part NULLS FIRST) AS i FROM scored
 ), scanned AS (
-  SELECT *, sum(z * power(0.75, -i)) OVER (ORDER BY part ROWS UNBOUNDED PRECEDING) AS s
+  SELECT *, sum(z * power(0.75, -i)) OVER (ORDER BY part NULLS FIRST ROWS UNBOUNDED PRECEDING) AS s
   FROM idx
 )
 SELECT part, n, defects, round(z, 4) AS z,

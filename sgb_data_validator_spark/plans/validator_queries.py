@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sgb_data_validator_spark.plans.constants import EVENT_TYPES, LANGS
-from sgb_data_validator_spark.plans.monitor_queries import _SQL_TURNS, _t, _turns
+from sgb_data_validator_spark.plans.monitor_queries import (
+    _SQL_TURNS,
+    _SQL_TURNS_P,
+    _SQL_TURNS_P_TEXT,
+    _t,
+    _turns,
+)
 
 # ------------------------------------------------ transition legality
 
@@ -96,16 +102,20 @@ WITH k AS (
   SELECT part, n, defects,
          sum(defects) OVER () / cast(sum(n) OVER () AS double) AS pooled_rate
   FROM per
+), scored AS (
+  SELECT part, n, defects, pooled_rate,
+         CASE WHEN pooled_rate * (1 - pooled_rate) = 0 THEN 0.0
+              ELSE (defects / cast(n AS double) - pooled_rate)
+                   / sqrt(pooled_rate * (1 - pooled_rate) / n) END AS z
+  FROM pooled
 )
 SELECT part, n, defects,
        round(defects / cast(n AS double), 6) AS rate,
        round(pooled_rate, 6) AS pooled_rate,
-       round((defects / cast(n AS double) - pooled_rate)
-             / sqrt(pooled_rate * (1 - pooled_rate) / n), 4) AS z,
-       CASE WHEN abs((defects / cast(n AS double) - pooled_rate)
-                     / sqrt(pooled_rate * (1 - pooled_rate) / n)) > 3.0
+       round(z, 4) AS z,
+       CASE WHEN abs(z) > 3.0
             THEN 'OUT_OF_CONTROL' ELSE 'IN_CONTROL' END AS status
-FROM pooled
+FROM scored
 """
 
 
@@ -396,38 +406,43 @@ FROM h GROUP BY 1
 # ------------------------------------------------ closing-role rule
 
 def q_closing_role(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation-closure rule over the events→transcript projection
-    (operators/windows.py:closing_role_violations): a conversation's
-    LAST turn must not be an 'error' — the argmax complement of the
-    opening-role rule, flagging conversations that ended in a crash /
-    truncation instead of a clean terminal event. Map-side combined
-    max-of-struct argmax per conv_id; the fact is read through the
-    pruned (conv_id, turn_idx, role, part) projection."""
-    from sgb_data_validator_spark.operators.windows import closing_role_violations
+    """Conversation-closure rule: a conversation's LAST turn must not
+    be an 'error' — the argmax complement of the opening-role rule,
+    flagging conversations that ended in a crash/truncation instead of
+    a clean terminal event (operator form:
+    operators/windows.py:closing_role_violations, which the pipeline
+    applies to the PHYSICAL turns table where turn_idx already exists).
 
+    Deriving turns from events would pay a full row_number window sort
+    of the fact just to learn the last turn's index — but turn_idx is
+    dense row_number−1, so the last turn's index is count(*)−1 and the
+    last turn itself is the max-of-struct over the SAME (ts, event_id)
+    order the projection sorts by. The whole rule is therefore ONE
+    map-side-combined groupBy(user_id) — no window, no sort-shuffle of
+    the fact, one combiner cell per user per task however hot the
+    user — emitting rows identical to closing_role_violations over the
+    canonical projection (the twin derives them the window way and
+    hashes equal)."""
     ev = _t(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    turns = ev.select(
+    g = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return g.where(
+        ~F.col("_last.event_type").isin("view", "click", "purchase", "signup")
+    ).select(
+        F.lit("conv.closing_role").alias("rule_id"),
         F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.date_format("ts", "yyyy-MM-dd").alias("part"),
-    )
-    return closing_role_violations(
-        turns, closing_roles=("view", "click", "purchase", "signup")
+        (F.col("_n") - 1).cast("int").alias("turn_idx"),
+        F.lit("role").alias("column"),
+        F.substring(F.col("_last.event_type"), 1, 80).alias("offending_value"),
+        F.lit("warning").alias("severity"),
+        F.date_format(F.col("_last.ts"), "yyyy-MM-dd").alias("part"),
     )
 
 
-SQL_CLOSING_ROLE = """
-WITH turns AS (
-  SELECT 'u' || user_id::VARCHAR AS conv_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
-         event_type AS role,
-         strftime(ts, '%Y-%m-%d') AS part
-  FROM events
-),
+SQL_CLOSING_ROLE = f"""
+WITH turns AS ({_SQL_TURNS_P}),
 last_turn AS (SELECT conv_id, max(turn_idx) AS turn_idx FROM turns GROUP BY 1)
 SELECT 'conv.closing_role' AS rule_id, t.conv_id,
        cast(t.turn_idx AS int) AS turn_idx, 'role' AS "column",
@@ -543,7 +558,11 @@ def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("int"),
     )
     rs = R.RowRuleSet().add(
-        R.in_range("value", lo=0.01, hi=250.0, severity=R.SEV_WARNING),
+        # %.6f pins the double rendering: Spark's native cast switches
+        # to scientific notation below 1e-3 / above 1e7 where DuckDB's
+        # varchar cast does not — a fixed-decimal printf matches on
+        # both engines for any magnitude this column can hold
+        R.in_range("value", lo=0.01, hi=250.0, severity=R.SEV_WARNING, value_format="%.6f"),
         R.in_range("prop_k", lo=0, hi=5, severity=R.SEV_WARNING),
     )
     return rs.violations(ev, key_cols=("event_id",), part_col=None)
@@ -557,7 +576,7 @@ WITH ev AS (
 )
 SELECT 'range.value' AS rule_id, cast(event_id AS varchar) AS conv_id,
        cast(NULL AS int) AS turn_idx, 'value' AS "column",
-       substr(cast(value AS varchar), 1, 80) AS offending_value,
+       substr(printf('%.6f', value), 1, 80) AS offending_value,
        'warning' AS severity, cast(NULL AS varchar) AS part
 FROM ev WHERE value IS NOT NULL AND (value < 0.01 OR value > 250.0)
 UNION ALL
@@ -576,29 +595,15 @@ def q_repeat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry loop. Text fingerprinted in-scan; one narrow groupBy of
     (conv_id, fp) — the payload never shuffles; one row per repeated
     group anchored at its earliest turn."""
-    from pyspark.sql import Window
-
     from sgb_data_validator_spark.operators.windows import repeat_text_violations
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    turns = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.col("props").alias("text"),
-        F.date_format("ts", "yyyy-MM-dd").alias("part"),
-    )
+    turns = _turns(ev, with_part=True, text_col="props")
     return repeat_text_violations(turns, text_col="text", min_repeats=2)
 
 
-SQL_REPEAT_TEXT = """
-WITH turns AS (
-  SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
-         props AS text,
-         strftime(ts, '%Y-%m-%d') AS part
-  FROM events
-),
+SQL_REPEAT_TEXT = f"""
+WITH turns AS ({_SQL_TURNS_P_TEXT}),
 g AS (
   SELECT conv_id,
          ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,

@@ -374,3 +374,29 @@ def test_ewma_detects_shift_then_forgets(spark):
     assert got["d17"] == "OUT_OF_CONTROL"    # still out at shift end
     assert got["d21"] == "IN_CONTROL"        # forgotten 4 days after reversion
     assert got["d23"] == "IN_CONTROL"
+
+
+def test_spc_charts_survive_degenerate_series(spark):
+    """A perfectly clean corpus (zero defects every day ⇒ sigma = 0)
+    must chart as in-control, not crash with DIVIDE_BY_ZERO under the
+    session's ANSI mode — the z-standardization is guarded to 0 on a
+    degenerate series in all four charts (and their SQL twins)."""
+    from sgb_data_validator_spark.operators.stats import (
+        cusum_from_counts,
+        ewma_from_counts,
+        pchart_from_counts,
+        uchart_from_counts,
+    )
+
+    clean = spark.createDataFrame(
+        [("d0", 100, 0), ("d1", 100, 0)], "part string, n long, defects long"
+    )
+    all_bad = spark.createDataFrame(
+        [("d0", 100, 100), ("d1", 100, 100)], "part string, n long, defects long"
+    )
+    for per in (clean, all_bad):
+        assert {r.status for r in pchart_from_counts(per).collect()} == {"IN_CONTROL"}
+        assert {r.status for r in cusum_from_counts(per).collect()} == {"STABLE"}
+        assert {r.status for r in ewma_from_counts(per).collect()} == {"IN_CONTROL"}
+        assert all(r.z == 0.0 for r in pchart_from_counts(per).collect())
+    assert {r.status for r in uchart_from_counts(clean).collect()} == {"IN_CONTROL"}

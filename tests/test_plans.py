@@ -299,11 +299,10 @@ def test_health_score_single_fused_scan(spark):
 
 
 def test_closing_role_is_argmax_not_window(spark):
-    """The closure rule is a map-side combined max-of-struct argmax —
-    a hot Zipf conversation costs one combiner cell per task, never a
-    window sort of its turns. (The events→turns projection itself uses
-    one row_number Window to derive turn_idx; the RULE must add no
-    second one.)"""
+    """The closure rule is ONE map-side combined max-of-struct argmax —
+    no window at all: turn_idx is dense row_number−1, so the last
+    turn's index is count(*)−1 and the whole query needs no derivation
+    sort. A hot Zipf conversation costs one combiner cell per task."""
     from sgb_data_validator_spark.plans.validator_queries import q_closing_role
 
     plan = (
@@ -311,13 +310,13 @@ def test_closing_role_is_argmax_not_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
-    assert plan.count("Window") == 1          # turn-derivation only
+    assert "Window" not in plan
     # struct-typed max compiles to SortAggregate (not hash-aggregable),
     # but the scale property is the MAP-SIDE COMBINE: a partial_max
     # runs before the exchange, so the hot conversation ships one
     # combiner row per task, never its turn list
     assert "partial_max" in plan
-    assert plan.count("Exchange") == 2        # derivation + the argmax, nothing else
+    assert plan.count("Exchange") == 1        # the argmax, nothing else
 
 
 def test_ewma_chart_single_fact_exchange(spark):
