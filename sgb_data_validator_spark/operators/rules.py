@@ -167,6 +167,63 @@ def in_range(
     )
 
 
+def field_pair(
+    when_col: str,
+    when_vals: Sequence[str],
+    then_col: str,
+    then_vals: Sequence[str] | None = None,
+    then_required: bool = True,
+    severity: str = SEV_ERROR,
+    rule_id: str | None = None,
+) -> RowRule:
+    """Conditional cross-field rule: when ``when_col`` ∈ ``when_vals``,
+    ``then_col`` must be non-null (``then_required``) and, if
+    ``then_vals`` is given, a member of it — the data-driven
+    required-field-PAIR check at the heart of the reference's models
+    (resource-type ⇒ required fields, /root/reference/src/models.py:
+    49-197, validate.py:508-656; Great Expectations'
+    expect_column_pair_values_to_be_in_set). ``tool_role_consistency``
+    is the transcript-native instance of the same shape; this is the
+    generic constructor declarative suites configure with data. Rows
+    whose ``when_col`` is NULL or outside ``when_vals`` pass — the
+    condition gates, it does not require. Pure codegen predicates in
+    the fused projection; the offending value names the failing side."""
+    when_list = list(when_vals)
+    then_list = list(then_vals) if then_vals is not None else None
+    if not when_list:
+        raise ValueError("field_pair needs a non-empty when_vals")
+    if then_list is not None and not then_list:
+        raise ValueError("field_pair then_vals must be non-empty when given")
+    if not then_required and then_list is None:
+        raise ValueError("field_pair needs then_required and/or then_vals")
+
+    def pred(df):
+        cond = df[when_col].isNotNull() & df[when_col].isin(when_list)
+        bad = None
+        if then_required:
+            bad = df[then_col].isNull()
+        if then_list is not None:
+            not_in = df[then_col].isNotNull() & ~df[then_col].isin(then_list)
+            bad = not_in if bad is None else (bad | not_in)
+        return cond & bad
+
+    def value(df):
+        return F.concat(
+            df[when_col],
+            F.lit(" => "),
+            F.coalesce(df[then_col].cast("string"), F.lit("NULL")),
+        )
+
+    return RowRule(
+        rule_id=rule_id or f"pair.{when_col}.{then_col}",
+        column=then_col,
+        severity=severity,
+        predicate=pred,
+        value=value,
+        gated=True,
+    )
+
+
 def no_url_in_text(column: str, severity: str = SEV_WARNING) -> RowRule:
     """Literal text containing a URL ⇒ warning (validate.py:467-506)."""
     return RowRule(
@@ -254,6 +311,7 @@ RULE_CONSTRUCTORS: dict[str, Callable[..., RowRule]] = {
         matches_regex,
         in_vocabulary,
         in_range,
+        field_pair,
         no_url_in_text,
         tool_role_consistency,
         not_contains,

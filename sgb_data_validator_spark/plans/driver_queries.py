@@ -829,11 +829,14 @@ _DRIVER_FRONT = [
     # repeat_text take the slots of dedup_winnow / knn_sq8 — both r4
     # hash-green, unchanged in r5, still in the local gate
     "range_rule", "repeat_text",
+    # r5 batch 11 (field-pair rule): pair_rule takes the slot of
+    # pagerank — r4 hash-green, unchanged in r5, still in the local gate
+    "pair_rule",
     # r5: summary/pivot return to the window (their _all_violations
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,
     # still in the local gate)
-    "pagerank", "summary", "pivot", "streaming_enrichment",
+    "summary", "pivot", "streaming_enrichment",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",

@@ -586,6 +586,56 @@ FROM ev WHERE prop_k IS NOT NULL AND (prop_k < 0 OR prop_k > 5)
 """
 
 
+# ------------------------------------------------ field-pair rule
+
+def q_pair_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-driven field-pair rule (operators/rules.py:field_pair)
+    in the fused projection: conversion events (purchase/signup) must
+    carry a props k in the premium tier 0–9 (both NULL and
+    out-of-tier flagged), and view events must carry props at all (the
+    always-satisfied arm pins the negative case). Both pairs ride ONE
+    scan with the JSON field extracted in the same projection — the
+    reference's resource-type ⇒ required-fields table re-expressed as
+    config, not code."""
+    from sgb_data_validator_spark.operators import rules as R
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "prop_k",
+        F.get_json_object("props", "$.k").try_cast("int"),
+    )
+    rs = R.RowRuleSet().add(
+        R.field_pair(
+            "event_type", ["purchase", "signup"], "prop_k",
+            then_vals=list(range(10)), severity=R.SEV_WARNING,
+        ),
+        R.field_pair(
+            "event_type", ["view"], "props", severity=R.SEV_WARNING,
+        ),
+    )
+    return rs.violations(ev, key_cols=("event_id",), part_col=None)
+
+
+SQL_PAIR_RULE = """
+WITH ev AS (
+  SELECT event_id, event_type, props,
+         try_cast(json_extract_string(props, '$.k') AS int) AS prop_k
+  FROM events
+)
+SELECT 'pair.event_type.prop_k' AS rule_id, cast(event_id AS varchar) AS conv_id,
+       cast(NULL AS int) AS turn_idx, 'prop_k' AS "column",
+       substr(event_type || ' => ' || coalesce(cast(prop_k AS varchar), 'NULL'), 1, 80) AS offending_value,
+       'warning' AS severity, cast(NULL AS varchar) AS part
+FROM ev
+WHERE event_type IN ('purchase', 'signup')
+  AND (prop_k IS NULL OR prop_k NOT IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+UNION ALL
+SELECT 'pair.event_type.props', cast(event_id AS varchar), cast(NULL AS int), 'props',
+       substr(event_type || ' => ' || coalesce(props, 'NULL'), 1, 80),
+       'warning', cast(NULL AS varchar)
+FROM ev WHERE event_type IN ('view') AND props IS NULL
+"""
+
+
 # ------------------------------------------------ repeated-text rule
 
 def q_repeat_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,4 +749,5 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "pass_rate_diff": (q_pass_rate_diff, SQL_PASS_RATE_DIFF),
     "range_rule": (q_range_rule, SQL_RANGE_RULE),
     "repeat_text": (q_repeat_text, SQL_REPEAT_TEXT),
+    "pair_rule": (q_pair_rule, SQL_PAIR_RULE),
 }

@@ -543,3 +543,48 @@ def test_repeat_text_one_row_per_group_anchored_first(spark):
     assert r.rule_id == "conv.repeat_text" and r.severity == "warning"
     # raising the threshold excludes the x3 group
     assert repeat_text_violations(t, min_repeats=4).count() == 0
+
+
+# ------------------------------------------------- field-pair rule
+
+def test_field_pair_semantics(spark):
+    """The condition GATES (rows outside when_vals pass whatever their
+    then side looks like); inside it, NULL violates when then_required
+    and out-of-set violates when then_vals is given; the offending
+    value names both sides; bad constructions fail at build time."""
+    rows = [
+        (1, "purchase", "gold"),      # in set: passes
+        (2, "purchase", None),        # required NULL: violates
+        (3, "purchase", "iron"),      # out of set: violates
+        (4, "view", None),            # outside when_vals: passes
+        (5, None, None),              # NULL when_col: passes
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, tier string")
+    rs = R.RowRuleSet().add(
+        R.field_pair("event_type", ["purchase"], "tier", then_vals=["gold", "silver"])
+    )
+    got = {r.conv_id: r for r in rs.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert set(got) == {"2", "3"}
+    assert got["2"].offending_value == "purchase => NULL"
+    assert got["3"].offending_value == "purchase => iron"
+
+    # required-only form: NULL violates, any non-null value passes
+    req = R.RowRuleSet().add(R.field_pair("event_type", ["purchase"], "tier"))
+    got2 = {r.conv_id for r in req.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert got2 == {"2"}
+
+    with pytest.raises(ValueError):
+        R.field_pair("event_type", [], "tier")
+    with pytest.raises(ValueError):
+        R.field_pair("event_type", ["purchase"], "tier", then_vals=[])
+    with pytest.raises(ValueError):
+        R.field_pair("event_type", ["purchase"], "tier", then_required=False)
+
+    # declarative spec path
+    suite = R.rules_from_spec([
+        {"rule": "field_pair", "when_col": "event_type",
+         "when_vals": ["purchase"], "then_col": "tier",
+         "then_vals": ["gold", "silver"]},
+    ])
+    got3 = {r.conv_id for r in suite.violations(df, key_cols=("event_id",), part_col=None).collect()}
+    assert got3 == {"2", "3"}
