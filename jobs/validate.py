@@ -89,6 +89,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "the fused row-rule scan — zero extra passes)",
     )
     p.add_argument(
+        "--closing-roles",
+        default=None,
+        help="comma-separated roles a conversation may END on (e.g. "
+        "'assistant,tool'); enables the opt-in conv.closing_role argmax "
+        "rule — conversations whose last turn is any other role are "
+        "flagged (crashed agent / truncated export)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -233,6 +241,12 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         fill_rate_drift=args.fill_rate_drift,
         fill_rate_tol=args.fill_rate_tol,
         partition_consistency=args.partition_consistency,
+        closing_roles=(
+            tuple(s.strip() for s in args.closing_roles.split(",") if s.strip())
+            or None
+        )
+        if args.closing_roles
+        else None,
     )
     sinks.write_all(result, args.out)
     elapsed = time.perf_counter() - t0

@@ -141,6 +141,10 @@ def in_range(
     cross-engine replay of a float rule should pass it."""
     if lo is None and hi is None:
         raise ValueError("in_range needs at least one bound (lo and/or hi)")
+    if lo is not None and hi is not None and lo > hi:
+        # swapped bounds would silently flag EVERY non-null row; the
+        # declarative-suite contract is that a typo fails at suite load
+        raise ValueError(f"in_range bounds out of order: lo={lo!r} > hi={hi!r}")
 
     def pred(df):
         c = df[column]

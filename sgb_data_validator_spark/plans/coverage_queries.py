@@ -521,7 +521,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = f"""
 WITH turns AS (
   SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS int) AS turn_idx,
          ts
   FROM events
 ),

@@ -625,7 +625,7 @@ def q_role_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLE_STRUCTURE = """
 WITH turns AS (
   SELECT 'u' || user_id::VARCHAR AS conv_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS turn_idx,
          event_type AS role,
          CASE WHEN event_type = 'click' THEN 'browser'
               WHEN user_id % 97 = 0 THEN 'shell' END AS tool,

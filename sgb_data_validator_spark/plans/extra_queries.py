@@ -45,7 +45,7 @@ _IN_TYPES = ", ".join(repr(x) for x in EVENT_TYPES)
 _SQL_TURNS = """
 turns AS (
   SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS int) AS turn_idx,
          event_type AS role, props AS text,
          CASE WHEN event_type = 'click' THEN 'browser' END AS tool,
          ts, strftime(ts, '%Y-%m-%d') AS part

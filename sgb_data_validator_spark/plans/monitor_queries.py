@@ -34,7 +34,9 @@ def _turns(
     and twin that derives turns from events must route through this
     family so a change to the canonical ordering lands everywhere at
     once."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     cols = [
         F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
@@ -47,31 +49,29 @@ def _turns(
     return ev.select(*cols)
 
 
-_SQL_TURNS = """
-  SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
-         event_type AS role
-  FROM events
-"""
+def _sql_turns(with_part: bool = False, text_col: str | None = None) -> str:
+    """SQL twin generator of :func:`_turns` — ONE template so a change
+    to the canonical ordering lands in every twin at once. NULLS FIRST
+    is pinned explicitly: Spark's window default is nulls-first while
+    DuckDB's is nulls-last, so an unpinned ORDER BY would renumber a
+    NULL-ts turn differently across engines."""
+    cols = [
+        "'u' || user_id::VARCHAR AS conv_id",
+        "cast(row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS int) AS turn_idx",
+        "event_type AS role",
+    ]
+    if text_col:
+        cols.append(f"{text_col} AS text")
+    if with_part:
+        cols.append("strftime(ts, '%Y-%m-%d') AS part")
+    sel = ",\n         ".join(cols)
+    return f"\n  SELECT {sel}\n  FROM events\n"
 
-#: the with_part=True twin of _SQL_TURNS
-_SQL_TURNS_P = """
-  SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
-         event_type AS role,
-         strftime(ts, '%Y-%m-%d') AS part
-  FROM events
-"""
 
-#: the with_part=True, text_col='props' twin
-_SQL_TURNS_P_TEXT = """
-  SELECT 'u' || user_id::VARCHAR AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
-         event_type AS role,
-         props AS text,
-         strftime(ts, '%Y-%m-%d') AS part
-  FROM events
-"""
+_SQL_TURNS = _sql_turns()
+_SQL_TURNS_P = _sql_turns(with_part=True)
+_SQL_TURNS_P_TEXT = _sql_turns(with_part=True, text_col="props")
 
 
 # ------------------------------------------------------------- drift: W1
@@ -575,7 +575,7 @@ def q_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LATENCY_PROFILE = """
 WITH turns AS (
   SELECT user_id AS conv_id,
-         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS int) AS turn_idx,
          ts
   FROM events
 ), gaps AS (
@@ -633,8 +633,9 @@ def q_fill_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FILL_DRIFT = """
 WITH proj AS (
   SELECT strftime(ts, '%Y-%m-%d') AS part,
-         CASE WHEN cast(json_extract_string(props, '$.k') AS int) % 7 = 0 THEN NULL
-              ELSE cast(json_extract_string(props, '$.k') AS int) END AS prop_k,
+         CASE WHEN NOT json_valid(props) THEN NULL
+              WHEN try_cast(json_extract_string(props, '$.k') AS int) % 7 = 0 THEN NULL
+              ELSE try_cast(json_extract_string(props, '$.k') AS int) END AS prop_k,
          CASE WHEN value > 450 THEN NULL ELSE value END AS value_cens
   FROM events
 ), wide AS (

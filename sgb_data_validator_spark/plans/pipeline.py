@@ -84,6 +84,7 @@ def compute_violations(
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
     opening_roles: tuple[str, ...] | None = ("system",),
+    closing_roles: tuple[str, ...] | None = None,
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
     partition_consistency: bool = False,
@@ -102,6 +103,16 @@ def compute_violations(
         # standard verdict path; pass opening_roles=None to disable for
         # schemas where "first turn role" has no contract
         v = v.unionByName(opening_role_violations(t.turns, opening_roles))
+    if closing_roles:
+        # opt-in argmax complement (conv.closing_role): default OFF keeps
+        # recorded violation counts stable, same contract as the other
+        # opt-ins; enable where "last turn role" has a contract (e.g.
+        # conversations must not end mid-tool-call or on an error)
+        from sgb_data_validator_spark.operators.windows import (
+            closing_role_violations,
+        )
+
+        v = v.unionByName(closing_role_violations(t.turns, closing_roles))
     if t.conversations is not None:
         v = v.unionByName(
             orphan_violations(t.turns, t.conversations, "conv_id", "conv_id", "ref.conv_id")
@@ -249,6 +260,7 @@ def validate(
     row_rules: R.RowRuleSet | None = None,
     reconcile_manifest: bool = False,
     opening_roles: tuple[str, ...] | None = ("system",),
+    closing_roles: tuple[str, ...] | None = None,
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
     partition_consistency: bool = False,
@@ -258,6 +270,7 @@ def validate(
         row_rules,
         reconcile_manifest=reconcile_manifest,
         opening_roles=opening_roles,
+        closing_roles=closing_roles,
         fill_rate_drift=fill_rate_drift,
         fill_rate_tol=fill_rate_tol,
         partition_consistency=partition_consistency,

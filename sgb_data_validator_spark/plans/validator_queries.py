@@ -410,8 +410,9 @@ def q_closing_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     be an 'error' — the argmax complement of the opening-role rule,
     flagging conversations that ended in a crash/truncation instead of
     a clean terminal event (operator form:
-    operators/windows.py:closing_role_violations, which the pipeline
-    applies to the PHYSICAL turns table where turn_idx already exists).
+    operators/windows.py:closing_role_violations — reachable in the
+    pipeline via validate(closing_roles=...), an opt-in applied to the
+    PHYSICAL turns table where turn_idx already exists).
 
     Deriving turns from events would pay a full row_number window sort
     of the fact just to learn the last turn's index — but turn_idx is
@@ -549,8 +550,12 @@ def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls outside [0.01, 250] and whose props-embedded k exceeds 5,
     both as canonical violation rows from ONE scan — the frictionless
     minimum/maximum constraint family the row-rule engine was missing.
-    The JSON field is extracted in the same projection (no pre-pass);
-    try_cast keeps malformed props NULL-safe under ANSI mode."""
+    The JSON field is extracted in the same projection (no pre-pass).
+    Malformed props yield NULL on BOTH engines: Spark's
+    get_json_object returns NULL by contract, the twin pins the same
+    with json_valid + try_cast (DuckDB's bare json_extract_string
+    THROWS on bad JSON — an oracle replay must not crash where the
+    engine degrades)."""
     from sgb_data_validator_spark.operators import rules as R
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -571,7 +576,8 @@ def q_range_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RANGE_RULE = """
 WITH ev AS (
   SELECT event_id, value,
-         try_cast(json_extract_string(props, '$.k') AS int) AS prop_k
+         CASE WHEN json_valid(props)
+              THEN try_cast(json_extract_string(props, '$.k') AS int) END AS prop_k
   FROM events
 )
 SELECT 'range.value' AS rule_id, cast(event_id AS varchar) AS conv_id,
@@ -618,7 +624,8 @@ def q_pair_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PAIR_RULE = """
 WITH ev AS (
   SELECT event_id, event_type, props,
-         try_cast(json_extract_string(props, '$.k') AS int) AS prop_k
+         CASE WHEN json_valid(props)
+              THEN try_cast(json_extract_string(props, '$.k') AS int) END AS prop_k
   FROM events
 )
 SELECT 'pair.event_type.prop_k' AS rule_id, cast(event_id AS varchar) AS conv_id,

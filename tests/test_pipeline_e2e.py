@@ -218,3 +218,21 @@ def test_fill_rate_drift_clean_config_quiet(spark):
     res = validate(t, fill_rate_drift=True)
     assert res.violations.where(F.col("rule_id").startswith("drift.fill.")).count() == 0
     assert res.passed is True
+
+
+def test_closing_roles_opt_in(spark, tables, result):
+    """validate(closing_roles=...) adds conv.closing_role rows on the
+    dirty fixture and leaves the default path's counts untouched."""
+    from sgb_data_validator_spark.plans.pipeline import validate
+
+    base = result.violations.count()
+    res2 = validate(tables, closing_roles=("assistant", "tool", "system", "user"))
+    extra = res2.violations.where("rule_id = 'conv.closing_role'").count()
+    assert res2.violations.count() == base + extra
+    # roles cover the whole vocabulary ⇒ only corrupt-role conversations
+    # (the fixture's dirt class) can be flagged; the rule must not fire
+    # on clean conversations
+    legit = res2.violations.where(
+        "rule_id = 'conv.closing_role' AND offending_value IN ('assistant','tool','system','user')"
+    ).count()
+    assert legit == 0

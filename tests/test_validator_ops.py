@@ -588,3 +588,8 @@ def test_field_pair_semantics(spark):
     ])
     got3 = {r.conv_id for r in suite.violations(df, key_cols=("event_id",), part_col=None).collect()}
     assert got3 == {"2", "3"}
+
+
+def test_in_range_rejects_swapped_bounds():
+    with pytest.raises(ValueError):
+        R.in_range("value", lo=250.0, hi=0.01)
