@@ -120,9 +120,50 @@ def sequence_violations(
     check_contiguity: bool = True,
     severity: str = SEV_WARNING,
     chunk: int = SEQ_CHUNK,
+    tool_caller_roles: tuple[str, ...] | None = None,
+    tool_result_roles: tuple[str, ...] | None = None,
+    tool_col: str = "tool",
 ) -> DataFrame:
-    """Both sequence rules in one skew-split window pass."""
-    slim = turns.select("conv_id", "turn_idx", "ts", "part")
+    """All sequence rules in one skew-split window pass.
+
+    Besides the two lag rules (ts monotonicity, turn contiguity), the
+    pass optionally checks tool-call ADJACENCY PAIRING — the
+    transcript-native invariant no row-level or argmin/argmax rule can
+    see (pass BOTH role tuples to enable; default OFF keeps recorded
+    violation counts and the pruned scan of the classic pass stable):
+
+    * ``tool.dangling_result`` — a ``tool_result_roles`` turn whose
+      immediately-preceding turn (by ``turn_idx`` order; the previous
+      PRESENT turn when the index is gapped — gaps themselves are
+      contiguity's finding) is neither a caller nor another result
+      (parallel tool calls legally return consecutive result turns),
+      or that opens the conversation. An orphaned tool output means a
+      dropped or reordered call turn.
+    * ``tool.unanswered_call`` — a ``tool_caller_roles`` turn carrying
+      a non-null ``tool_col`` whose NEXT turn is not a result turn, or
+      that ends the conversation — an agent that called a tool and
+      never saw the answer. (A non-null tool on a non-caller,
+      non-result row is tool_role_consistency's finding, not this
+      rule's.)
+
+    The lead() the call rule needs is fed by a SECOND carry in the
+    opposite direction: each chunk's FIRST row (min-of-struct, again a
+    partial-combined aggregation) rides into the PREVIOUS chunk that
+    has rows. Carry rows sort strictly outside the real rows of their
+    host chunk (their turn_idx comes from an adjacent chunk), so lag
+    and lead of every real row are exact and carries never emit.
+    Precondition: unique turn_idx per conversation (ties would make
+    the window order — and any engine's — nondeterministic); run the
+    uniqueness rule first on unvalidated input."""
+    pairing = tool_caller_roles is not None and tool_result_roles is not None
+    val_cols = ["turn_idx"] + (["ts"] if check_monotonic_ts else []) + ["part"]
+    if pairing:
+        slim = turns.select(
+            "conv_id", *val_cols, F.col("role"), F.col(tool_col).alias("_tool")
+        )
+        val_cols = val_cols + ["role", "_tool"]
+    else:
+        slim = turns.select("conv_id", *val_cols)
     chunk_of = F.floor(F.col("turn_idx") / chunk).cast("bigint")
     base = slim.select("*", chunk_of.alias("_chunk"), F.lit(False).alias("_carry"))
     # the LAST row of each chunk (max turn_idx, not just the dense
@@ -136,27 +177,36 @@ def sequence_violations(
     # max-of-struct is a partial-combined aggregation, so the hot
     # conversation costs nothing extra here.
     cw = Window.partitionBy("conv_id").orderBy("_chunk")
-    carry = (
-        slim.groupBy("conv_id", chunk_of.alias("_chunk"))
-        .agg(F.max(F.struct("turn_idx", "ts", "part")).alias("_m"))
-        .withColumn("_next", F.lead("_chunk").over(cw))
-        .where(F.col("_next").isNotNull())
-        .select(
-            "conv_id",
-            F.col("_m.turn_idx").alias("turn_idx"),
-            F.col("_m.ts").alias("ts"),
-            F.col("_m.part").alias("part"),
-            F.col("_next").alias("_chunk"),
-            F.lit(True).alias("_carry"),
+
+    def _boundary(agg_fn, neighbor_fn):
+        return (
+            slim.groupBy("conv_id", chunk_of.alias("_chunk"))
+            .agg(agg_fn(F.struct(*val_cols)).alias("_m"))
+            .withColumn("_to", neighbor_fn("_chunk").over(cw))
+            .where(F.col("_to").isNotNull())
+            .select(
+                "conv_id",
+                *[F.col(f"_m.{c}").alias(c) for c in val_cols],
+                F.col("_to").alias("_chunk"),
+                F.lit(True).alias("_carry"),
+            )
         )
-    )
+
+    carry = _boundary(F.max, F.lead)
+    seq = base.unionByName(carry)
+    if pairing:
+        # the symmetric lead-carry: each chunk's first row into the
+        # previous chunk that has rows
+        seq = seq.unionByName(_boundary(F.min, F.lag))
     w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
-    seq = (
-        base.unionByName(carry)
-        .withColumn("_prev_ts", F.lag("ts").over(w))
-        .withColumn("_prev_idx", F.lag("turn_idx").over(w))
-        .where(~F.col("_carry"))
-    )
+    seq = seq.withColumn("_prev_idx", F.lag("turn_idx").over(w))
+    if check_monotonic_ts:
+        seq = seq.withColumn("_prev_ts", F.lag("ts").over(w))
+    if pairing:
+        seq = seq.withColumn("_prev_role", F.lag("role").over(w)).withColumn(
+            "_next_role", F.lead("role").over(w)
+        )
+    seq = seq.where(~F.col("_carry"))
 
     slots = []
     if check_monotonic_ts:
@@ -185,6 +235,45 @@ def sequence_violations(
                     F.lit("turn.contiguity").alias("rule_id"),
                     F.lit("turn_idx").alias("column"),
                     F.col("turn_idx").cast("string").alias("offending_value"),
+                ),
+            )
+        )
+    if pairing:
+        legal_prev = tuple(tool_caller_roles) + tuple(tool_result_roles)
+        slots.append(
+            F.when(
+                F.col("role").isin(*tool_result_roles)
+                & (
+                    F.col("_prev_role").isNull()
+                    | ~F.col("_prev_role").isin(*legal_prev)
+                ),
+                F.struct(
+                    F.lit("tool.dangling_result").alias("rule_id"),
+                    F.lit("role").alias("column"),
+                    F.substring(
+                        F.concat(
+                            F.coalesce(F.col("_prev_role"), F.lit("NULL")),
+                            F.lit(" -> "),
+                            F.col("role"),
+                        ),
+                        1,
+                        80,
+                    ).alias("offending_value"),
+                ),
+            )
+        )
+        slots.append(
+            F.when(
+                F.col("_tool").isNotNull()
+                & F.col("role").isin(*tool_caller_roles)
+                & (
+                    F.col("_next_role").isNull()
+                    | ~F.col("_next_role").isin(*tool_result_roles)
+                ),
+                F.struct(
+                    F.lit("tool.unanswered_call").alias("rule_id"),
+                    F.lit(tool_col).alias("column"),
+                    F.substring(F.col("_tool"), 1, 80).alias("offending_value"),
                 ),
             )
         )

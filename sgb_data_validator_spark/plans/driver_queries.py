@@ -809,10 +809,13 @@ _DRIVER_FRONT = [
     # the local gate)
     "partition_checksums",
     "stats_hll",
+    # r5 batch 12 (tool-call adjacency pairing): tool_pairing takes the
+    # slot of streaming_interval_join — r4 hash-green, docstring-only
+    # change in r5, still in the local gate
+    "tool_pairing",
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
     # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore
-    "streaming_interval_join",
     "role_structure", "dedup_containment", "reconcile_totals",
     # r4 additions still in-window
     "kmeans_train",

@@ -25,15 +25,19 @@ def _turns(
     ev: DataFrame,
     with_part: bool = False,
     text_col: str | None = None,
+    with_tool: bool = False,
 ) -> DataFrame:
     """The canonical events→transcript projection (matches
     q_role_structure / SQL_ROLE_STRUCTURE): conv per user, dense
     turn_idx by (ts, event_id), role = event_type; ``with_part`` adds
     the day-partition column, ``text_col`` carries an events column
-    through as the transcript's ``text``. ONE definition — every query
-    and twin that derives turns from events must route through this
-    family so a change to the canonical ordering lands everywhere at
-    once."""
+    through as the transcript's ``text``, ``with_tool`` derives the
+    canonical ``tool`` column (a 'view' turn with value > 250 invokes
+    tool 'chk'; every other turn carries NULL — the deterministic
+    caller mapping the pairing rule tests against). ONE definition —
+    every query and twin that derives turns from events must route
+    through this family so a change to the canonical ordering lands
+    everywhere at once."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
     )
@@ -44,12 +48,23 @@ def _turns(
     ]
     if text_col:
         cols.append(F.col(text_col).alias("text"))
+    if with_tool:
+        cols.append(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("value") > 250.0),
+                F.lit("chk"),
+            ).alias("tool")
+        )
     if with_part:
         cols.append(F.date_format("ts", "yyyy-MM-dd").alias("part"))
     return ev.select(*cols)
 
 
-def _sql_turns(with_part: bool = False, text_col: str | None = None) -> str:
+def _sql_turns(
+    with_part: bool = False,
+    text_col: str | None = None,
+    with_tool: bool = False,
+) -> str:
     """SQL twin generator of :func:`_turns` — ONE template so a change
     to the canonical ordering lands in every twin at once. NULLS FIRST
     is pinned explicitly: Spark's window default is nulls-first while
@@ -63,6 +78,10 @@ def _sql_turns(with_part: bool = False, text_col: str | None = None) -> str:
     ]
     if text_col:
         cols.append(f"{text_col} AS text")
+    if with_tool:
+        cols.append(
+            "CASE WHEN event_type = 'view' AND value > 250 THEN 'chk' END AS tool"
+        )
     if with_part:
         cols.append("strftime(ts, '%Y-%m-%d') AS part")
     sel = ",\n         ".join(cols)

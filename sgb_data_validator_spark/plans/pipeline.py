@@ -88,6 +88,8 @@ def compute_violations(
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
     partition_consistency: bool = False,
+    tool_caller_roles: tuple[str, ...] | None = None,
+    tool_result_roles: tuple[str, ...] | None = None,
 ) -> DataFrame:
     rs = row_rules or transcript_row_rules()
     if partition_consistency:
@@ -163,7 +165,18 @@ def compute_violations(
         v = v.unionByName(
             orphan_violations(t.turns, t.allowed_tools, "tool", "tool", "ref.tool")
         )
-    v = v.unionByName(sequence_violations(t.turns))
+    # all sequence rules ride ONE skew-split window pass; the tool-call
+    # adjacency pairing rules are opt-in (pass BOTH role tuples; default
+    # OFF keeps recorded violation counts stable, same contract as the
+    # other opt-ins) and cost zero extra scans when enabled — they fold
+    # into this same pass
+    v = v.unionByName(
+        sequence_violations(
+            t.turns,
+            tool_caller_roles=tool_caller_roles,
+            tool_result_roles=tool_result_roles,
+        )
+    )
     if t.baseline_stats is not None:
         # drift runs on the vocabulary-conforming subset — out-of-vocab
         # values are already flagged by vocab/ref rules, and counting them
@@ -264,6 +277,8 @@ def validate(
     fill_rate_drift: bool = False,
     fill_rate_tol: float = 0.005,
     partition_consistency: bool = False,
+    tool_caller_roles: tuple[str, ...] | None = None,
+    tool_result_roles: tuple[str, ...] | None = None,
 ) -> ValidationResult:
     violations = compute_violations(
         t,
@@ -274,6 +289,8 @@ def validate(
         fill_rate_drift=fill_rate_drift,
         fill_rate_tol=fill_rate_tol,
         partition_consistency=partition_consistency,
+        tool_caller_roles=tool_caller_roles,
+        tool_result_roles=tool_result_roles,
     )
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)

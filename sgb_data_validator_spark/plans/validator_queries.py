@@ -21,6 +21,7 @@ from sgb_data_validator_spark.plans.monitor_queries import (
     _SQL_TURNS,
     _SQL_TURNS_P,
     _SQL_TURNS_P_TEXT,
+    _sql_turns,
     _t,
     _turns,
 )
@@ -680,6 +681,59 @@ FROM g
 """
 
 
+# ------------------------------------------------ tool-call pairing
+
+def q_tool_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call ADJACENCY pairing over the events→transcript
+    projection (operators/windows.py:sequence_violations, pairing
+    slots): a tool-result turn ('purchase') must be immediately
+    preceded by a caller ('view') or another result, and a caller turn
+    that invokes a tool (non-null canonical ``tool``) must be
+    immediately followed by a result turn — the dangling-result /
+    unanswered-call pair no row-level or argmin rule can see.
+
+    Scale shape: rides the SAME skew-split chunked window pass as
+    ts_monotonicity/contiguity — the Zipf-hot conversation spreads over
+    ~turns/32768 tasks instead of serializing through one sort, the
+    lead() side fed by a symmetric min-of-struct carry — so enabling
+    pairing in the engine pipeline costs zero extra fact scans."""
+    from sgb_data_validator_spark.operators.windows import sequence_violations
+
+    ev = _t(spark, sf_dir, "events")
+    turns = _turns(ev, with_part=True, with_tool=True)
+    return sequence_violations(
+        turns,
+        check_monotonic_ts=False,
+        check_contiguity=False,
+        tool_caller_roles=("view",),
+        tool_result_roles=("purchase",),
+    )
+
+
+SQL_TOOL_PAIRING = f"""
+WITH turns AS ({_sql_turns(with_part=True, with_tool=True)}),
+x AS (
+  SELECT *,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM turns
+)
+SELECT 'tool.dangling_result' AS rule_id, conv_id,
+       cast(turn_idx AS int) AS turn_idx, 'role' AS "column",
+       substr(coalesce(prev_role, 'NULL') || ' -> ' || role, 1, 80) AS offending_value,
+       'warning' AS severity, part
+FROM x
+WHERE role = 'purchase'
+  AND (prev_role IS NULL OR prev_role NOT IN ('view', 'purchase'))
+UNION ALL
+SELECT 'tool.unanswered_call', conv_id, cast(turn_idx AS int), 'tool',
+       substr(tool, 1, 80), 'warning', part
+FROM x
+WHERE tool IS NOT NULL AND role = 'view'
+  AND (next_role IS NULL OR next_role <> 'purchase')
+"""
+
+
 # ------------------------------------------------ partition health score
 
 def q_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,4 +811,5 @@ VALIDATOR_QUERIES: dict[str, tuple] = {
     "range_rule": (q_range_rule, SQL_RANGE_RULE),
     "repeat_text": (q_repeat_text, SQL_REPEAT_TEXT),
     "pair_rule": (q_pair_rule, SQL_PAIR_RULE),
+    "tool_pairing": (q_tool_pairing, SQL_TOOL_PAIRING),
 }

@@ -53,6 +53,122 @@ def test_sequence_carry_crosses_empty_chunks(spark):
     assert got == [("ts.monotonicity", 13), ("turn.contiguity", 13)]
 
 
+def _pairing(spark, rows, chunk=4, **kw):
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, part string"
+    )
+    kw.setdefault("tool_caller_roles", ("assistant",))
+    kw.setdefault("tool_result_roles", ("tool",))
+    return sorted(
+        (r.rule_id, r.conv_id, r.turn_idx)
+        for r in sequence_violations(
+            turns,
+            check_monotonic_ts=False,
+            check_contiguity=False,
+            chunk=chunk,
+            **kw,
+        ).collect()
+    )
+
+
+def test_tool_pairing_basic(spark):
+    got = _pairing(
+        spark,
+        [
+            # c1: clean call→result, then result→result (parallel calls legal)
+            ("c1", 0, "user", None, "p"),
+            ("c1", 1, "assistant", "search", "p"),
+            ("c1", 2, "tool", None, "p"),
+            ("c1", 3, "tool", None, "p"),
+            # c2: dangling result after a user turn
+            ("c2", 0, "user", None, "p"),
+            ("c2", 1, "tool", None, "p"),
+            # c3: unanswered call — next turn is a user turn
+            ("c3", 0, "assistant", "search", "p"),
+            ("c3", 1, "user", None, "p"),
+            # c4: unanswered call at conversation end
+            ("c4", 0, "user", None, "p"),
+            ("c4", 1, "assistant", "search", "p"),
+            # c5: result opens the conversation
+            ("c5", 0, "tool", None, "p"),
+            # c6: assistant WITHOUT tool followed by user — no finding
+            ("c6", 0, "assistant", None, "p"),
+            ("c6", 1, "user", None, "p"),
+        ],
+    )
+    assert got == [
+        ("tool.dangling_result", "c2", 1),
+        ("tool.dangling_result", "c5", 0),
+        ("tool.unanswered_call", "c3", 0),
+        ("tool.unanswered_call", "c4", 1),
+    ]
+
+
+def test_tool_pairing_carries_cross_chunk_boundaries(spark):
+    """Both carry directions: a result at a chunk START whose caller
+    ends the previous chunk must NOT flag (lag-carry), and a call at a
+    chunk END answered at the next chunk's start must NOT flag
+    (lead-carry) — while the same shapes WITH the neighbor wrong DO
+    flag. chunk=4 puts idx 3|4 on a boundary."""
+    got = _pairing(
+        spark,
+        [
+            # c1: call at idx 3 (end of chunk 0), result at idx 4 — clean
+            *[("c1", i, "user", None, "p") for i in range(3)],
+            ("c1", 3, "assistant", "x", "p"),
+            ("c1", 4, "tool", None, "p"),
+            # c2: call at idx 3, but idx 4 is a user turn — unanswered
+            *[("c2", i, "user", None, "p") for i in range(3)],
+            ("c2", 3, "assistant", "x", "p"),
+            ("c2", 4, "user", None, "p"),
+            # c3: result at idx 4 (chunk start) after a user at idx 3 — dangling
+            *[("c3", i, "user", None, "p") for i in range(4)],
+            ("c3", 4, "tool", None, "p"),
+            # c4: gap spanning a whole chunk between call and result:
+            # idx 3 call, idx 13 result — the carry still supplies the
+            # caller as the previous PRESENT turn, so pairing is clean
+            # (the gap itself is contiguity's finding, not pairing's)
+            *[("c4", i, "user", None, "p") for i in range(3)],
+            ("c4", 3, "assistant", "x", "p"),
+            ("c4", 13, "tool", None, "p"),
+        ],
+    )
+    assert got == [
+        ("tool.dangling_result", "c3", 4),
+        ("tool.unanswered_call", "c2", 3),
+    ]
+
+
+def test_tool_pairing_brute_force_replay(spark):
+    """Chunked-window pairing == a pure-Python replay over the sorted
+    conversation, on a deterministic pseudo-random fixture with a hot
+    conversation crossing many chunk-4 boundaries."""
+    import hashlib
+
+    rows = []
+    for conv, n in [("hot", 40), ("a", 3), ("b", 1), ("c", 7)]:
+        for i in range(n):
+            h = int(hashlib.md5(f"{conv}|{i}".encode()).hexdigest(), 16)
+            role = ["user", "assistant", "tool", "system"][h % 4]
+            tool = "t" if (role == "assistant" and (h >> 4) % 2) else None
+            rows.append((conv, i, role, tool, "p"))
+    got = _pairing(spark, rows)
+    exp = []
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r[0], []).append(r)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r[1])
+        for j, (cid, idx, role, tool, _) in enumerate(turns):
+            prev = turns[j - 1][2] if j > 0 else None
+            nxt = turns[j + 1][2] if j + 1 < len(turns) else None
+            if role == "tool" and prev not in ("assistant", "tool"):
+                exp.append(("tool.dangling_result", cid, idx))
+            if tool is not None and role == "assistant" and nxt != "tool":
+                exp.append(("tool.unanswered_call", cid, idx))
+    assert got == sorted(exp) and len(got) > 5
+
+
 def test_column_stats_long_format(spark):
     df = spark.createDataFrame(
         [("p1", "a", 1), ("p1", None, 2), ("p1", "b", 2), ("p2", "a", None)],
