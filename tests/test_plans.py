@@ -332,3 +332,42 @@ def test_ewma_chart_single_fact_exchange(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_resume_filter_prunes_partitions_at_scan(spark, turns_parquet):
+    """The --resume path (jobs/validate.py) filters the fact to the
+    ledger's pending set with part.isin(pending). That filter must be a
+    PARTITION filter handled by the file index — the PASSED partition's
+    files are never opened — not a post-scan Filter over a full read.
+    At 10^12 turns this is the difference between touching one day and
+    rescanning three years."""
+    from sgb_data_validator_spark.sources.ledger import Ledger
+
+    turns = spark.read.parquet(turns_parquet)
+    ledger_path = turns_parquet + "_resume_ledger"
+    led = Ledger(spark, ledger_path)
+    # record day 0 PASSED, everything else FAILED (the dirty-run shape)
+    verdicts = (
+        turns.select("part")
+        .distinct()
+        .select(
+            "part",
+            F.when(F.col("part") == "2026-01-05", "PASSED")
+            .otherwise("FAILED")
+            .alias("status"),
+            F.lit(0).cast("long").alias("error_count"),
+            F.lit(0).cast("long").alias("warning_count"),
+        )
+    )
+    digests = verdicts.select("part", F.lit("d").alias("stats_digest"))
+    part_rows = turns.groupBy("part").agg(F.count(F.lit(1)).alias("rows"))
+    led.record(verdicts, digests, part_rows, 1.0, "test")
+
+    pending = [r.part for r in led.pending_partitions(turns.select("part")).collect()]
+    assert "2026-01-05" not in pending and pending
+    plan = plan_of(turns.where(F.col("part").isin(pending)))
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "2026-01-05" not in pf                 # PASSED day never scanned
+    assert all(p in pf for p in pending)          # pending days pruned IN
+    # and no residual row-level Filter node doing the partition work
+    assert "PartitionFilters: []" not in plan

@@ -41,6 +41,11 @@ measured job is the per-partition core: fused row rules + salted
 uniqueness + sequence rules + per-partition column stats + all report
 sinks + ledger/sketch recording.
 
+Also measures the sidecar SketchStore claim: the global distinct count
+per column answered by unioning the stored per-partition HLL sketches
+(cost independent of fact size) vs rescanning the full fact, plus the
+sketch estimates' max relative error against exact countDistinct.
+
     python tools/resume_bench.py                  # ~20M turns, 18 days
     RESUME_BENCH_TURNS=2000000 python tools/resume_bench.py   # quick
 
@@ -162,6 +167,36 @@ def main() -> None:
     t3, rc3 = _timed_run(spark, [*base_argv, "--out", f"{WORK}/out3"])
     assert rc3 == 0
 
+    # second resumability claim: DISTINCT COUNTS resume too. The runs
+    # above stored one mergeable HLL sketch per (partition, column) in
+    # the sidecar store; the global distinct answer is a union over
+    # that O(parts × columns) frame. Control: the same answer by
+    # rescanning the whole fact. At 100 TB the rescan is hours; the
+    # union's cost is independent of fact size.
+    from sgb_data_validator_spark.sources.ledger import SketchStore
+
+    store = SketchStore(spark, f"{WORK}/ledger_sketches")
+    t0 = time.perf_counter()
+    sketch_est = {
+        r["column"]: r["distinct_estimate"] for r in store.global_distinct().collect()
+    }
+    t_sketch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    exact = (
+        spark.read.parquet(live)
+        .agg(
+            F.countDistinct("conv_id").alias("conv_id"),
+            F.countDistinct("role").alias("role"),
+            F.countDistinct("tool").alias("tool"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    t_rescan = time.perf_counter() - t0
+    sketch_err = max(
+        abs(sketch_est[c] - exact[c]) / max(exact[c], 1) for c in exact
+    )
+
     summary = {
         "metric": "resume-from-ledger efficiency: wall of a resumed run vs a "
         "no-checkpoint full re-run on the same post-ingest table",
@@ -177,6 +212,11 @@ def main() -> None:
         "pending_row_share": round(rows2 / rows_all, 4),
         "resume_wall_share": round(t2 / t3, 4),
         "resume_speedup": round(t3 / t2, 2),
+        "global_distinct_from_sketches_sec": round(t_sketch, 3),
+        "global_distinct_rescan_sec": round(t_rescan, 2),
+        "sketch_estimates": sketch_est,
+        "exact_distincts": exact,
+        "sketch_max_rel_err": round(sketch_err, 4),
         "loadavg": round(os.getloadavg()[0], 1),
     }
     print(json.dumps(summary))
