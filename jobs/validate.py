@@ -172,7 +172,11 @@ def run_streaming(spark: SparkSession, args: argparse.Namespace) -> int:
 
 def run(spark: SparkSession, args: argparse.Namespace) -> int:
     from sgb_data_validator_spark.operators.stats import stats_digest
-    from sgb_data_validator_spark.plans.pipeline import TranscriptTables, validate
+    from sgb_data_validator_spark.plans.pipeline import (
+        TranscriptTables,
+        materialize,
+        validate,
+    )
     from sgb_data_validator_spark.sources import sinks
     from sgb_data_validator_spark.sources.catalog import read_table
     from sgb_data_validator_spark.sources.ledger import Ledger
@@ -248,6 +252,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         if args.closing_roles
         else None,
     )
+    # compute the fact-derived frames ONCE: the fan-out below (6 sinks +
+    # ledger + console verdicts) is ~8 actions, each of which would
+    # otherwise re-execute the multi-scan violations DAG from the fact
+    result = materialize(result, turns)
     sinks.write_all(result, args.out)
     elapsed = time.perf_counter() - t0
 

@@ -297,6 +297,34 @@ def validate(
     return ValidationResult(violations=violations, verdicts=verdicts, stats=stats)
 
 
+def materialize(result: ValidationResult, turns: DataFrame) -> ValidationResult:
+    """Compute the fact-derived frames ONCE before a multi-artifact
+    fan-out.
+
+    ``validate()`` returns lazy frames — correct for library users who
+    run one action on them. The CLI run is not that user: it performs
+    ~8 actions on the same result (violations/verdicts/stats/summary/
+    pivot/spc sinks + ledger record + console verdicts), and each
+    action would re-execute the violations DAG — itself several scans
+    of the fact (fused row rules, uniqueness, opening argmin, orphan
+    joins, sequence window, drift). At 10^12 turns that is the
+    difference between one pass over the data and eight.
+
+    ``localCheckpoint`` (MEMORY_AND_DISK on the executors) materializes
+    violations and stats eagerly; verdicts is rebuilt ON the
+    materialized violations and checkpointed too (it is O(parts)).
+    Downstream actions then scan the checkpointed blocks — the fact is
+    never re-read. The violation/verdict/stats VALUES are identical to
+    the lazy result's (pinned by
+    tests/test_pipeline_e2e.py::test_materialize_semantic_parity).
+    Violations are dirt-rate-bounded, so the checkpoint is far smaller
+    than the fact; stats and verdicts are O(parts × columns)."""
+    viol = result.violations.localCheckpoint()
+    stats = result.stats.localCheckpoint()
+    verdicts = compute_verdicts(turns, viol).localCheckpoint()
+    return ValidationResult(violations=viol, verdicts=verdicts, stats=stats)
+
+
 def summary_report(violations: DataFrame) -> DataFrame:
     """Severity × rule counts (reference print_report, validate.py:804-826)."""
     return (

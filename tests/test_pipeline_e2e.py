@@ -236,3 +236,25 @@ def test_closing_roles_opt_in(spark, tables, result):
         "rule_id = 'conv.closing_role' AND offending_value IN ('assistant','tool','system','user')"
     ).count()
     assert legit == 0
+
+
+def test_materialize_semantic_parity(spark, tables, result):
+    """materialize() is a pure execution-strategy change: the CLI uses it
+    so the ~8-action report fan-out re-executes nothing, and the
+    checkpointed frames must hold EXACTLY the lazy result's rows."""
+    from sgb_data_validator_spark.plans.pipeline import materialize
+
+    m = materialize(result, tables.turns)
+    for lazy, mat in (
+        (result.violations, m.violations),
+        (result.verdicts, m.verdicts),
+        (result.stats, m.stats),
+    ):
+        assert lazy.columns == mat.columns
+        assert lazy.exceptAll(mat).count() == 0
+        assert mat.exceptAll(lazy).count() == 0
+    assert m.passed == result.passed
+    # and the materialized frames are checkpointed scans, not the
+    # original multi-scan DAG: no parquet/in-memory fact scan survives
+    plan = m.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
