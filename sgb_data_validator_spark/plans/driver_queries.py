@@ -839,7 +839,10 @@ _DRIVER_FRONT = [
     # mechanism changed this round — see above), taking the slots of
     # orc_roundtrip / csv_roundtrip (r4 hash-green, unchanged in r5,
     # still in the local gate)
-    "summary", "pivot", "streaming_enrichment",
+    # r5 batch 13 (transform job manifest): transform_stages takes the
+    # slot of streaming_enrichment — r4 hash-green, unchanged in r5,
+    # still in the local gate
+    "summary", "pivot", "transform_stages",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",

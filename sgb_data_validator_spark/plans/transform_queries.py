@@ -325,8 +325,97 @@ FROM documents
 """
 
 
+def q_transform_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform job's manifest computation in driver-checkable
+    form (jobs/transform.py:transformed_with_metrics): per-stage
+    changed-row counts over the SAME doc_id-deterministic dirt and the
+    SAME DuckDB-replayable stage subset as ``text_pipeline``
+    (whitespace → wikidata → urls; the entities+NFC pandas-UDF stage is
+    Python-regex territory, pytest-pinned instead). All three stage
+    comparisons are conditional sums inside ONE aggregation over one
+    scan — exactly how the job observes them on the write."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = _dirty_text()
+    c1 = native.normalize_whitespace(dirty)
+    c2 = native.normalize_wikidata_url(c1)
+    c3 = native.normalize_urls(c2)
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+        F.sum((~dirty.eqNullSafe(c1)).cast("bigint")).alias("ws"),
+        F.sum((~c1.eqNullSafe(c2)).cast("bigint")).alias("wd"),
+        F.sum((~c2.eqNullSafe(c3)).cast("bigint")).alias("url"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 1, 'normalize_whitespace', ws, "
+            "2, 'normalize_wikidata_url', wd, "
+            "3, 'normalize_urls', url) AS (ord, stage, changed_rows)"
+        ),
+        "rows",
+    ).select(
+        F.col("ord").cast("int").alias("ord"),
+        "stage",
+        F.col("changed_rows").cast("bigint").alias("changed_rows"),
+        "rows",
+    )
+
+
+# the dirty/ws legs are byte-identical to SQL_TEXT_PIPELINE's (the
+# hash-green end-to-end twin); the per-stage counts compare each leg to
+# its predecessor with null-safe inequality, mirroring the job's
+# observe() metrics
+SQL_TRANSFORM_STAGES = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN text || '   ' || chr(9) || '  tail   '
+           WHEN doc_id % 3 = 1 THEN '  ' || text || repeat(chr(10), 5) || 'end'
+           ELSE text
+         END
+         || CASE WHEN doc_id % 5 = 0 THEN '{_DIRT_WIKIDATA}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 1 THEN '{_DIRT_URL_SLASH}' ELSE '' END AS t0
+  FROM documents
+),
+chain AS (
+  SELECT doc_id, t0,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(replace(t0, chr(9), ' '), ' {{2,}}', ' ', 'g'),
+                 chr(10) || '{{3,}}', chr(10) || chr(10), 'g'),
+               ' +' || chr(10), chr(10), 'g'),
+             '', '', 'g'),
+           ' ' || chr(10)) AS t1
+  FROM dirty
+),
+chain2 AS (
+  SELECT *, regexp_replace(t1, '(?:https?://)?m\\.wikidata\\.org/wiki/(Q\\d+)',
+                           'https://www.wikidata.org/wiki/\\1', 'g') AS t2
+  FROM chain
+),
+chain3 AS (
+  SELECT *, regexp_replace(t2, '(https?://[^/\\s]+)/+(\\s|$)', '\\1\\2', 'g') AS t3
+  FROM chain2
+),
+agg AS (
+  SELECT cast(count(*) AS bigint) AS rows,
+         cast(sum(CASE WHEN t1 IS DISTINCT FROM t0 THEN 1 ELSE 0 END) AS bigint) AS ws,
+         cast(sum(CASE WHEN t2 IS DISTINCT FROM t1 THEN 1 ELSE 0 END) AS bigint) AS wd,
+         cast(sum(CASE WHEN t3 IS DISTINCT FROM t2 THEN 1 ELSE 0 END) AS bigint) AS url
+  FROM chain3
+)
+SELECT cast(1 AS int) AS ord, 'normalize_whitespace' AS stage, ws AS changed_rows, rows FROM agg
+UNION ALL
+SELECT cast(2 AS int), 'normalize_wikidata_url', wd, rows FROM agg
+UNION ALL
+SELECT cast(3 AS int), 'normalize_urls', url, rows FROM agg
+"""
+
+
 TRANSFORM_QUERIES: dict[str, tuple] = {
     "text_pipeline": (q_text_pipeline, SQL_TEXT_PIPELINE),
+    "transform_stages": (q_transform_stages, SQL_TRANSFORM_STAGES),
     "transcript_pipeline": (q_transcript_pipeline, SQL_TRANSCRIPT_PIPELINE),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "hierarchy": (q_hierarchy, SQL_HIERARCHY),
