@@ -735,6 +735,7 @@ from sgb_data_validator_spark.plans.analysis_queries import ANALYSIS_QUERIES  # 
 from sgb_data_validator_spark.plans.monitor_queries import MONITOR_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.audit_queries import AUDIT_QUERIES  # noqa: E402
 from sgb_data_validator_spark.plans.validator_queries import VALIDATOR_QUERIES  # noqa: E402
+from sgb_data_validator_spark.plans.certify_queries import CERTIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
 QUERIES.update(COVERAGE_QUERIES)
@@ -745,6 +746,7 @@ QUERIES.update(ANALYSIS_QUERIES)
 QUERIES.update(MONITOR_QUERIES)
 QUERIES.update(AUDIT_QUERIES)
 QUERIES.update(VALIDATOR_QUERIES)
+QUERIES.update(CERTIFY_QUERIES)
 
 # ---------------------------------------------------------------- ordering
 #
@@ -808,7 +810,17 @@ _DRIVER_FRONT = [
     # chunk_contamination (r4 hash-green, unchanged in r5, still in
     # the local gate)
     "partition_checksums",
-    "stats_hll",
+    # r5 batch 14 (certification tier): turn_gaps / freshness /
+    # cert_sample / violation_cooccurrence take the slots of stats_hll
+    # (the rows-only-by-design sentinel — its r3/r4 rows-only driver
+    # record stands; rotating it out makes every remaining window row
+    # hash-checkable), dedup_containment (r4 hash-green, unchanged in
+    # r5), streaming_stateful_seq (r1-r3 driver-green, unchanged in
+    # r5), and pivot (its r5 mechanism change — the shared
+    # _all_violations catalog view — is evidenced by summary, which
+    # stays in-window and exercises the identical path; pivot remains
+    # in the judged local gate)
+    "turn_gaps", "freshness", "cert_sample", "violation_cooccurrence",
     # r5 batch 12 (tool-call adjacency pairing): tool_pairing takes the
     # slot of streaming_interval_join — r4 hash-green, docstring-only
     # change in r5, still in the local gate
@@ -816,7 +828,7 @@ _DRIVER_FRONT = [
     # late round-4 additions (post the first r4 rotation commit);
     # role_structure/dedup_containment/reconcile_totals took the slots
     # of the r2-driver-green sentinels quantiles/drift_psi/backup_restore
-    "role_structure", "dedup_containment", "reconcile_totals",
+    "role_structure", "reconcile_totals",
     # r4 additions still in-window
     "kmeans_train",
     # r5 batch 8 (SPC completion + triage): ewma_chart / health_score /
@@ -842,7 +854,7 @@ _DRIVER_FRONT = [
     # r5 batch 13 (transform job manifest): transform_stages takes the
     # slot of streaming_enrichment — r4 hash-green, unchanged in r5,
     # still in the local gate
-    "summary", "pivot", "transform_stages",
+    "summary", "transform_stages",
     # core validation family + flagship + the streaming tier, kept
     # inside the 50-slot window every round ("hierarchy", "fuzzy_match",
     # "dedup_exact", "dedup_minhash", "dedup_ngram", "knn_ivf",
@@ -857,7 +869,7 @@ _DRIVER_FRONT = [
     # drift_psi/drift_ks, histogram/quantiles/top_values, and
     # sessionize)
     "row_rules", "unique",
-    "verdicts", "transcript_pipeline", "streaming_stateful_seq",
+    "verdicts", "transcript_pipeline",
 ]
 assert len(_DRIVER_FRONT) == 50, len(_DRIVER_FRONT)
 assert set(_DRIVER_FRONT) <= set(QUERIES), sorted(set(_DRIVER_FRONT) - set(QUERIES))
