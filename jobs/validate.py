@@ -97,6 +97,31 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "flagged (crashed agent / truncated export)",
     )
     p.add_argument(
+        "--certify-bp",
+        type=int,
+        default=None,
+        metavar="BP",
+        help="pre-flight: before (or instead of, with --certify-only) the "
+        "full validation, evaluate the row-rule family on a deterministic "
+        "BP/10000 hash sample of turns and write a per-rule certificate "
+        "(Wilson 95%% upper bound on the violation rate) to <out>/certificate",
+    )
+    p.add_argument(
+        "--certify-tol",
+        type=float,
+        default=0.01,
+        help="per-rule violation-rate SLO the certificate checks the Wilson "
+        "upper bound against (default 0.01 = 1%%)",
+    )
+    p.add_argument(
+        "--certify-only",
+        action="store_true",
+        help="stop after the sampled certificate: exit 0 if every rule "
+        "certifies under --certify-tol, 3 otherwise — the cheap gate that "
+        "decides whether the full validation is worth scheduling (requires "
+        "--certify-bp)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -108,6 +133,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--reconcile-manifest requires --conversations")
     if args.fill_rate_drift and not args.baseline_stats:
         p.error("--fill-rate-drift requires --baseline-stats")
+    if args.certify_only and args.certify_bp is None:
+        p.error("--certify-only requires --certify-bp")
+    if args.certify_bp is not None and not 0 < args.certify_bp <= 10_000:
+        p.error("--certify-bp must be in 1..10000 (basis points of the table)")
     return args
 
 
@@ -228,6 +257,29 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
             "has no n_turns_expected column — reconciliation skipped",
             file=sys.stderr,
         )
+    if args.certify_bp is not None:
+        from sgb_data_validator_spark.operators.certify import sampled_certification
+        from sgb_data_validator_spark.plans.pipeline import transcript_row_rules
+
+        cert_rules = transcript_row_rules()
+        cert = sampled_certification(
+            turns,
+            cert_rules.flags(turns),
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")),
+            rate_bp=args.certify_bp,
+            tol=args.certify_tol,
+        ).orderBy("rule_id")
+        cert.write.mode("overwrite").parquet(f"{args.out}/certificate")
+        cert_rows = cert.collect()  # O(rules) rows
+        for row in cert_rows:
+            print(
+                f"certify\t{row.rule_id}\tn={row.n_sample}\tk={row.k_viol}\t"
+                f"upper={row.upper_bound}\t"
+                f"{'CERTIFIED' if row.certified else 'NOT-CERTIFIED'}"
+            )
+        if args.certify_only:
+            return 0 if all(r.certified for r in cert_rows) else 3
+
     t0 = time.perf_counter()
     if (
         args.fill_rate_drift

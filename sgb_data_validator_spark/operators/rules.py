@@ -413,6 +413,24 @@ class RowRuleSet:
             "part",
         )
 
+    def flags(self, df: DataFrame) -> list[tuple[str, Column]]:
+        """Each rule's firing condition as a (rule_id, boolean Column)
+        pair — the SAME gated predicates :meth:`violations` and
+        :meth:`pass_rates` evaluate (parse-gated rules fire only on
+        rows passing the parse gate), NULL-coalesced to false. The
+        input to sampled certification
+        (operators/certify.py:sampled_certification): a certificate
+        built from these flags bounds exactly the rates the full
+        validate() would report."""
+        gate = self.parse_ok(df)
+        out = []
+        for r in self.rules:
+            pred = r.predicate(df)
+            if r.gated:
+                pred = pred & gate
+            out.append((r.rule_id, F.coalesce(pred, F.lit(False))))
+        return out
+
     def pass_rates(self, df: DataFrame, mostly: float = 0.995) -> DataFrame:
         """Per-rule pass-rate summary in ONE fused scan — the
         expectation-suite view of the same rules :meth:`violations`

@@ -88,3 +88,56 @@ def test_fill_rate_drift_flag_requires_baseline():
          "--fill-rate-drift", "--fill-rate-tol", "0.01"]
     )
     assert args.fill_rate_drift and args.fill_rate_tol == 0.01
+
+
+def test_certify_preflight_and_gate(spark, tmp_path):
+    """--certify-bp writes a per-rule certificate; --certify-only gates
+    with exit 3 on a dirty fixture under a tight SLO and exit 0 on a
+    clean one (or a loose SLO) without running the full validation."""
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=1500), f"{base}/fx")
+    argv = [
+        "--turns", f"{base}/fx/turns",
+        "--out", f"{base}/cert_report",
+        "--certify-bp", "10000",  # full sample: exact rates
+        "--certify-tol", "0.0001",
+        "--certify-only",
+    ]
+    rc = run(spark, parse_args(argv))
+    assert rc == 3  # dirty fixture cannot certify a 0.01% SLO
+    cert = spark.read.parquet(f"{base}/cert_report/certificate")
+    rows = {r.rule_id: r for r in cert.collect()}
+    # the certificate covers exactly the default row-rule family
+    assert set(rows) == {
+        "not_null.text", "non_empty.text", "vocab.role",
+        "url_in_text.text", "tool.role_consistency",
+    }
+    assert all(r.upper_bound >= r.viol_rate for r in rows.values())
+    # certify-only must NOT have produced the full validation sinks
+    import os
+    assert not os.path.exists(f"{base}/cert_report/verdicts")
+
+    # loose SLO certifies the same table (full sample, upper < 1.0)
+    rc2 = run(spark, parse_args(argv[:-3] + ["--certify-tol", "1.0", "--certify-only"]))
+    assert rc2 == 0
+
+    # clean fixture certifies under a tight SLO
+    write_fixture_tables(
+        spark, FixtureConfig(n_turns=1500, dirt=False, n_empty_convs=0), f"{base}/fx_clean"
+    )
+    rc3 = run(spark, parse_args([
+        "--turns", f"{base}/fx_clean/turns",
+        "--out", f"{base}/cert_clean",
+        "--certify-bp", "10000",
+        "--certify-tol", "0.01",
+        "--certify-only",
+    ]))
+    assert rc3 == 0
+
+
+def test_certify_requires_bp():
+    import pytest
+    with pytest.raises(SystemExit):
+        parse_args(["--turns", "/t", "--out", "/o", "--certify-only"])
+    with pytest.raises(SystemExit):
+        parse_args(["--turns", "/t", "--out", "/o", "--certify-bp", "0"])
