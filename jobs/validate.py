@@ -122,6 +122,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "--certify-bp)",
     )
     p.add_argument(
+        "--certify-target",
+        action="store_true",
+        help="sampled triage: compute PER-PARTITION certificates "
+        "(<out>/certificate_by_part) and run the full validation only on "
+        "partitions whose certificate fails the SLO — a clean delivery "
+        "pays BP/10000 of a scan, a delivery with one bad day pays that "
+        "plus one day's full validation; partition-scoped semantics match "
+        "--parts/--resume, and a partition too small for its sample to "
+        "attest the SLO (Wilson floor > tol at k=0) escalates to the full "
+        "scan rather than passing silently (requires --certify-bp; "
+        "mutually exclusive with --certify-only)",
+    )
+    p.add_argument(
         "--streaming",
         action="store_true",
         help="incremental mode: --turns is a landing dir; each invocation "
@@ -133,8 +146,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         p.error("--reconcile-manifest requires --conversations")
     if args.fill_rate_drift and not args.baseline_stats:
         p.error("--fill-rate-drift requires --baseline-stats")
-    if args.certify_only and args.certify_bp is None:
-        p.error("--certify-only requires --certify-bp")
+    if (args.certify_only or args.certify_target) and args.certify_bp is None:
+        p.error("--certify-only/--certify-target require --certify-bp")
+    if args.certify_only and args.certify_target:
+        p.error("--certify-only and --certify-target are mutually exclusive")
     if args.certify_bp is not None and not 0 < args.certify_bp <= 10_000:
         p.error("--certify-bp must be in 1..10000 (basis points of the table)")
     return args
@@ -258,27 +273,62 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
     if args.certify_bp is not None:
-        from sgb_data_validator_spark.operators.certify import sampled_certification
+        from sgb_data_validator_spark.operators.certify import (
+            sampled_certification,
+            sampled_certification_by_part,
+        )
         from sgb_data_validator_spark.plans.pipeline import transcript_row_rules
 
         cert_rules = transcript_row_rules()
-        cert = sampled_certification(
-            turns,
-            cert_rules.flags(turns),
-            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")),
-            rate_bp=args.certify_bp,
-            tol=args.certify_tol,
-        ).orderBy("rule_id")
-        cert.write.mode("overwrite").parquet(f"{args.out}/certificate")
-        cert_rows = cert.collect()  # O(rules) rows
-        for row in cert_rows:
-            print(
-                f"certify\t{row.rule_id}\tn={row.n_sample}\tk={row.k_viol}\t"
-                f"upper={row.upper_bound}\t"
-                f"{'CERTIFIED' if row.certified else 'NOT-CERTIFIED'}"
+        cert_key = F.concat_ws(
+            ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+        )
+        if args.certify_target:
+            cert = sampled_certification_by_part(
+                turns,
+                cert_rules.flags(turns),
+                cert_key,
+                rate_bp=args.certify_bp,
+                tol=args.certify_tol,
+            ).orderBy("part", "rule_id")
+            cert.write.mode("overwrite").parquet(f"{args.out}/certificate_by_part")
+            cert_rows = cert.collect()  # O(parts × rules) rows
+            suspect = sorted({r.part for r in cert_rows if not r.certified})
+            certified_parts = sorted(
+                {r.part for r in cert_rows} - set(suspect)
             )
-        if args.certify_only:
-            return 0 if all(r.certified for r in cert_rows) else 3
+            for part in certified_parts:
+                print(f"certify\t{part}\tCERTIFIED (skipping full validation)")
+            for part in suspect:
+                print(f"certify\t{part}\tNOT-CERTIFIED -> full validation")
+            if not suspect:
+                print("all partitions certified — nothing to validate fully")
+                return 0
+            turns = turns.where(F.col("part").isin(suspect))
+            t = TranscriptTables(
+                turns=turns,
+                conversations=t.conversations,
+                allowed_tools=t.allowed_tools,
+                baseline_stats=t.baseline_stats,
+            )
+        else:
+            cert = sampled_certification(
+                turns,
+                cert_rules.flags(turns),
+                cert_key,
+                rate_bp=args.certify_bp,
+                tol=args.certify_tol,
+            ).orderBy("rule_id")
+            cert.write.mode("overwrite").parquet(f"{args.out}/certificate")
+            cert_rows = cert.collect()  # O(rules) rows
+            for row in cert_rows:
+                print(
+                    f"certify\t{row.rule_id}\tn={row.n_sample}\tk={row.k_viol}\t"
+                    f"upper={row.upper_bound}\t"
+                    f"{'CERTIFIED' if row.certified else 'NOT-CERTIFIED'}"
+                )
+            if args.certify_only:
+                return 0 if all(r.certified for r in cert_rows) else 3
 
     t0 = time.perf_counter()
     if (

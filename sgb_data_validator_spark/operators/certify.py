@@ -129,6 +129,55 @@ def sampled_certification(
     )
 
 
+def sampled_certification_by_part(
+    df: DataFrame,
+    flags: Sequence[tuple[str, Column]],
+    key: Column,
+    part_col: str = "part",
+    rate_bp: int = 2000,
+    tol: float = 0.01,
+    z: float = WILSON_Z,
+) -> DataFrame:
+    """Per-partition certificates — the targeting form of
+    :func:`sampled_certification`: one (part, rule_id) certificate row
+    per partition, so a run can route ONLY the partitions whose
+    certificate fails the SLO into the full validate() (the sampled
+    triage → targeted full scan workflow jobs/validate.py wires as
+    ``--certify-target``). A clean delivery pays rate_bp/10⁴ of a scan
+    total; a delivery with one bad day pays that plus one day's full
+    validation instead of the whole table's.
+
+    Same plan spine as the global form: in-scan sample filter, ONE
+    map-side-combined aggregation — grouped by the partition key, so
+    state is O(parts × rules) — and the stack unpivot + Wilson math on
+    the tiny grouped frame. Day keys are near-uniform, so the grouped
+    exchange has no skew exposure."""
+    sampled = df.where(sample_predicate(key, rate_bp))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, (_, flag) in enumerate(flags):
+        aggs.append(
+            F.sum(F.coalesce(flag.cast("int"), F.lit(0))).cast("bigint").alias(f"__k{i}")
+        )
+    per_part = sampled.groupBy(F.col(part_col).alias("part")).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{rule_id}', __k{i}" for i, (rule_id, _) in enumerate(flags)
+    )
+    per_rule = per_part.selectExpr(
+        "part", "__n", f"stack({len(flags)}, {stack_args}) AS (rule_id, k_viol)"
+    )
+    return per_rule.select(
+        "part",
+        "rule_id",
+        F.col("__n").alias("n_sample"),
+        "k_viol",
+        F.round(F.col("k_viol") / F.col("__n"), 6).alias("viol_rate"),
+        F.round(wilson_upper(F.col("k_viol"), F.col("__n"), z), 6).alias("upper_bound"),
+        (wilson_upper(F.col("k_viol"), F.col("__n"), z) <= tol)
+        .cast("int")
+        .alias("certified"),
+    )
+
+
 def gap_intervals(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -224,3 +224,45 @@ def test_violation_cooccurrence_unordered_pairs_once(spark):
     n = spark.createDataFrame([(5,)], "n_total bigint")
     got = sorted((r.rule_a, r.rule_b) for r in violation_cooccurrence(viol, n).collect())
     assert got == [("x", "y"), ("x", "z"), ("y", "z")]
+
+
+# ------------------------------------------------- per-part certificates
+
+def test_cert_by_part_sums_to_global(spark):
+    # grouping by part must partition the global certificate's counts
+    # exactly: sum(n), sum(k) over parts == the global form's n, k
+    from sgb_data_validator_spark.operators.certify import (
+        sampled_certification_by_part,
+    )
+
+    rows = [(i, "p%d" % (i % 3), i % 7 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, part string, bad boolean")
+    key = F.col("id").cast("string")
+    flags = [("r.seven", F.col("bad"))]
+    g = sampled_certification(df, flags, key, rate_bp=2000, tol=0.1).first()
+    by = sampled_certification_by_part(
+        df, flags, key, rate_bp=2000, tol=0.1
+    ).collect()
+    assert sum(r.n_sample for r in by) == g.n_sample
+    assert sum(r.k_viol for r in by) == g.k_viol
+
+
+def test_cert_by_part_hand_computed(spark):
+    from sgb_data_validator_spark.operators.certify import (
+        sampled_certification_by_part,
+    )
+
+    rows = [(i, "clean", False) for i in range(100)] + [
+        (1000 + i, "dirty", i < 30) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, part string, bad boolean")
+    out = {
+        r.part: r
+        for r in sampled_certification_by_part(
+            df, [("r", F.col("bad"))], F.col("id").cast("string"),
+            rate_bp=10_000, tol=0.05,
+        ).collect()
+    }
+    assert out["clean"].k_viol == 0 and out["clean"].certified == 1
+    assert out["dirty"].k_viol == 30 and out["dirty"].certified == 0
+    assert out["dirty"].viol_rate == 0.3

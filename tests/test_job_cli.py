@@ -141,3 +141,43 @@ def test_certify_requires_bp():
         parse_args(["--turns", "/t", "--out", "/o", "--certify-only"])
     with pytest.raises(SystemExit):
         parse_args(["--turns", "/t", "--out", "/o", "--certify-bp", "0"])
+
+
+def test_certify_target_validates_only_suspect_partitions(spark, tmp_path):
+    """--certify-target: per-partition certificates route only the
+    non-certified partitions into the full validation (the clean day 0
+    is attested by certificate and skipped)."""
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=4000), f"{base}/fx")
+    argv = [
+        "--turns", f"{base}/fx/turns",
+        "--out", f"{base}/target_report",
+        "--certify-bp", "10000",
+        "--certify-tol", "0.02",
+        "--certify-target",
+    ]
+    rc = run(spark, parse_args(argv))
+    assert rc == 1  # suspect partitions carry real errors
+
+    cert = spark.read.parquet(f"{base}/target_report/certificate_by_part")
+    by_part = {}
+    for r in cert.collect():
+        by_part.setdefault(str(r.part), []).append(r.certified)
+    certified = {p for p, cs in by_part.items() if all(cs)}
+    suspect = set(by_part) - certified
+    assert "2026-01-05" in certified  # the clean day attests by sample
+    assert suspect  # the dirty days go to the full scan
+    verdicts = spark.read.parquet(f"{base}/target_report/verdicts")
+    validated = {str(r.part) for r in verdicts.collect()}
+    assert validated == suspect  # certified partitions were NOT rescanned
+
+
+def test_certify_target_flag_validation():
+    import pytest
+    with pytest.raises(SystemExit):
+        parse_args(["--turns", "/t", "--out", "/o", "--certify-target"])
+    with pytest.raises(SystemExit):
+        parse_args([
+            "--turns", "/t", "--out", "/o", "--certify-bp", "1000",
+            "--certify-only", "--certify-target",
+        ])
