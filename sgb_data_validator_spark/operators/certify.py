@@ -193,13 +193,18 @@ def gap_intervals(
 
     including the leading gap when the smallest present index exceeds
     ``expect_start``. Classic islands-and-gaps: lag over the present
-    indexes inside each conversation. Duplicate indexes are collapsed
-    first (groupBy, partial-aggregated) so dup-dirt can't fabricate
-    phantom gap edges; Spark plans the distinct and the window over the
-    SAME hash partitioning on the conversation key — one exchange
-    total, and output is O(gaps)."""
+    indexes inside each conversation. Duplicate indexes need NO
+    up-front distinct — under the index ordering a dup row's lag is its
+    own value (diff 0, filtered) and only the FIRST row of a tie run
+    sees the previous distinct value, so each gap emits exactly once
+    and dup-dirt can't fabricate phantom edges (pytest-pinned). That
+    keeps the whole operator at ONE narrow exchange on the conversation
+    key (an (id, int) projection — an explicit groupBy-distinct first
+    would pay a second, (conv, idx)-keyed shuffle of the same rows for
+    nothing); NULL indexes are dropped in-scan (a NULL can't bound a
+    gap; not_null's job to flag). Output is O(gaps)."""
     idx = F.col(idx_col)
-    present = turns.groupBy(conv_col, idx_col).agg(F.lit(1)).select(conv_col, idx_col)
+    present = turns.select(conv_col, idx_col).where(idx.isNotNull())
     w = Window.partitionBy(conv_col).orderBy(idx)
     g = present.withColumn("__prev", F.lag(idx).over(w))
     lead_gap = F.col("__prev").isNull() & (idx > expect_start)

@@ -40,8 +40,9 @@ def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     run with (gap_start, gap_end, gap_len), including the leading gap
     when a conversation no longer starts at 0. The triage sequel to the
     boolean contiguity rule: the ranges are what a re-export request
-    needs. One exchange on conv_id (distinct + lag window share the
-    partitioning); output O(gaps)."""
+    needs. ONE narrow exchange on conv_id (no up-front distinct — the
+    lag handles dup indexes natively, see the operator docstring);
+    output O(gaps)."""
     from sgb_data_validator_spark.operators.certify import gap_intervals
 
     turns = _turns(_t(spark, sf_dir, "events"))
@@ -52,7 +53,8 @@ def q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TURN_GAPS = f"""
 WITH turns AS ({_SQL_TURNS}),
 cleaned AS (
-  SELECT DISTINCT conv_id, turn_idx FROM turns WHERE role <> 'purchase'
+  SELECT conv_id, turn_idx FROM turns
+  WHERE role <> 'purchase' AND turn_idx IS NOT NULL
 ),
 g AS (
   SELECT conv_id, turn_idx,
