@@ -97,6 +97,16 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "flagged (crashed agent / truncated export)",
     )
     p.add_argument(
+        "--tail-freshness-s",
+        type=int,
+        default=None,
+        metavar="SECONDS",
+        help="also flag day partitions whose last event lands more than "
+        "SECONDS before the earlier of their midnight boundary and the "
+        "table watermark (part.tail_freshness warnings — the "
+        "truncated-export signal volume checks miss)",
+    )
+    p.add_argument(
         "--certify-bp",
         type=int,
         default=None,
@@ -353,6 +363,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         )
         if args.closing_roles
         else None,
+        tail_freshness_s=args.tail_freshness_s,
     )
     # compute the fact-derived frames ONCE: the fan-out below (6 sinks +
     # ledger + console verdicts) is ~8 actions, each of which would

@@ -230,6 +230,7 @@ def partition_freshness(
     df: DataFrame,
     ts_col: str = "ts",
     max_tail_silence_s: int = 400,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Ingest-freshness audit per day partition: a partition whose last
     event lands well before its window closed is the signature of a
@@ -246,13 +247,24 @@ def partition_freshness(
     One map-side-combined aggregation to O(days) rows; the global
     watermark is an in-plan window max over that tiny frame (no second
     fact scan). All integer microsecond arithmetic ⇒ engine-portable.
+
+    ``part_col``: group by the table's OWN day-partition column (the
+    'yyyy-MM-dd' string the verdicts key on) instead of deriving the
+    day from ``ts_col`` — the pipeline form, so a freshness finding
+    lands on the partition the ledger tracks. Rows whose part disagrees
+    with date(ts) are partition_consistency's finding, not this one's.
     """
     # parquet event-time columns arrive TIMESTAMP_NTZ; the session tz is
     # pinned UTC, so the cast is the identity on the wall-clock value —
     # it only re-tags the type so unix_micros accepts it
     ts = F.col(ts_col).cast("timestamp")
+    part = (
+        F.col(part_col).cast("string")
+        if part_col
+        else F.date_format(ts, "yyyy-MM-dd")
+    )
     per_day = (
-        df.select(F.date_format(ts, "yyyy-MM-dd").alias("part"), ts.alias("__ts"))
+        df.select(part.alias("part"), ts.alias("__ts"))
         .groupBy("part")
         .agg(
             F.unix_micros(F.max("__ts")).alias("last_event_us"),

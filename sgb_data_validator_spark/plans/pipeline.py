@@ -90,6 +90,7 @@ def compute_violations(
     partition_consistency: bool = False,
     tool_caller_roles: tuple[str, ...] | None = None,
     tool_result_roles: tuple[str, ...] | None = None,
+    tail_freshness_s: int | None = None,
 ) -> DataFrame:
     rs = row_rules or transcript_row_rules()
     if partition_consistency:
@@ -228,6 +229,32 @@ def compute_violations(
                         "part",
                     )
                 )
+    if tail_freshness_s is not None:
+        # opt-in (same default-OFF stability contract as the other
+        # opt-ins): ingest tail-freshness — a partition whose last event
+        # lands > tail_freshness_s before the earlier of its midnight
+        # boundary and the table watermark is a truncated-export signal
+        # volume checks miss. Partition-level finding (conv_id NULL),
+        # keyed on the table's own part so verdicts/ledger react.
+        from sgb_data_validator_spark.operators.certify import partition_freshness
+
+        fresh = partition_freshness(
+            t.turns, "ts", tail_freshness_s, part_col="part"
+        )
+        v = v.unionByName(
+            fresh.select(
+                F.lit("part.tail_freshness").alias("rule_id"),
+                F.lit(None).cast("string").alias("conv_id"),
+                F.lit(None).cast("int").alias("turn_idx"),
+                F.lit("ts").alias("column"),
+                F.concat(
+                    F.lit("silent "), F.col("tail_silence_s").cast("string"),
+                    F.lit("s before window close"),
+                ).alias("offending_value"),
+                F.lit(R.SEV_WARNING).alias("severity"),
+                "part",
+            )
+        )
     return v
 
 
@@ -279,6 +306,7 @@ def validate(
     partition_consistency: bool = False,
     tool_caller_roles: tuple[str, ...] | None = None,
     tool_result_roles: tuple[str, ...] | None = None,
+    tail_freshness_s: int | None = None,
 ) -> ValidationResult:
     violations = compute_violations(
         t,
@@ -291,6 +319,7 @@ def validate(
         partition_consistency=partition_consistency,
         tool_caller_roles=tool_caller_roles,
         tool_result_roles=tool_result_roles,
+        tail_freshness_s=tail_freshness_s,
     )
     verdicts = compute_verdicts(t.turns, violations)
     stats = transcript_stats(t.turns)

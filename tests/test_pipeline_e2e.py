@@ -258,3 +258,25 @@ def test_materialize_semantic_parity(spark, tables, result):
     # original multi-scan DAG: no parquet/in-memory fact scan survives
     plan = m.violations._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
+
+
+def test_tail_freshness_opt_in(spark, tables, result):
+    """validate(tail_freshness_s=...) adds part.tail_freshness rows keyed
+    on the table's own part column, leaves the default path untouched,
+    and a generous threshold adds none."""
+    base = result.violations.count()
+    res2 = validate(tables, tail_freshness_s=0)
+    fresh = res2.violations.where("rule_id = 'part.tail_freshness'")
+    extra = fresh.count()
+    # threshold 0: every partition except the one carrying the global
+    # watermark has SOME positive tail silence
+    assert extra >= 1
+    assert res2.violations.count() == base + extra
+    rows = fresh.collect()
+    assert all(r.part is not None and r.severity == "warning" for r in rows)
+    # verdict parts and freshness parts come from the same part column
+    verdict_parts = {str(r.part) for r in res2.verdicts.collect()}
+    assert {str(r.part) for r in rows} <= verdict_parts
+    # a day-long threshold flags nothing
+    res3 = validate(tables, tail_freshness_s=86_400)
+    assert res3.violations.where("rule_id = 'part.tail_freshness'").count() == 0
