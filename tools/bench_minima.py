@@ -24,12 +24,20 @@ def main() -> None:
     snaps = []
     for p in in_paths:
         with open(p) as f:
-            for line in f.read().splitlines():
-                if line.startswith("{"):
-                    snaps.append(json.loads(line))
-                    break
+            text = f.read()
+        try:
+            # whole-file JSON (bench_last.json-style pretty records)
+            snaps.append(json.loads(text))
+            continue
+        except json.JSONDecodeError:
+            pass
+        for line in text.splitlines():
+            # bench.py stdout capture: the record is one JSON line
+            if line.startswith("{"):
+                snaps.append(json.loads(line))
+                break
     if not snaps:
-        sys.exit(f"no parseable bench snapshot (leading '{{' line) in: {in_paths}")
+        sys.exit(f"no parseable bench snapshot in: {in_paths}")
     minima: dict[str, float] = {}
     pass_counts: dict[str, int] = {}
     for s in snaps:
