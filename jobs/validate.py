@@ -97,6 +97,17 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "flagged (crashed agent / truncated export)",
     )
     p.add_argument(
+        "--rules-spec",
+        default=None,
+        metavar="PATH",
+        help="JSON file holding the row-rule suite as data (a list of "
+        "objects, each naming a registered constructor via 'rule' plus "
+        "its kwargs — operators/rules.py:RULE_CONSTRUCTORS); replaces "
+        "the default transcript row rules so a suite ships as config "
+        "beside the data, not code. Unknown rule names fail at load, "
+        "before any cluster time is spent",
+    )
+    p.add_argument(
         "--tail-freshness-s",
         type=int,
         default=None,
@@ -282,6 +293,22 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
             "has no n_turns_expected column — reconciliation skipped",
             file=sys.stderr,
         )
+    suite_rules = None
+    if args.rules_spec:
+        import json as _json
+
+        from sgb_data_validator_spark.operators.rules import rules_from_spec
+
+        with open(args.rules_spec) as fh:
+            spec = _json.load(fh)
+        # fails HERE on an unknown rule name or bad kwargs — before any
+        # cluster time is spent (the suite-as-config contract)
+        suite_rules = rules_from_spec(spec)
+        print(
+            f"rules-spec: {len(suite_rules.rules)} rules loaded from "
+            f"{args.rules_spec}",
+            file=sys.stderr,
+        )
     if args.certify_bp is not None:
         from sgb_data_validator_spark.operators.certify import (
             sampled_certification,
@@ -289,7 +316,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         )
         from sgb_data_validator_spark.plans.pipeline import transcript_row_rules
 
-        cert_rules = transcript_row_rules()
+        # the certificate must bound exactly the rates the full run
+        # would report, so a loaded suite replaces the default family
+        # here too
+        cert_rules = suite_rules or transcript_row_rules()
         cert_key = F.concat_ws(
             ":", F.col("conv_id"), F.col("turn_idx").cast("string")
         )
@@ -353,6 +383,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         )
     result = validate(
         t,
+        row_rules=suite_rules,
         reconcile_manifest=args.reconcile_manifest,
         fill_rate_drift=args.fill_rate_drift,
         fill_rate_tol=args.fill_rate_tol,

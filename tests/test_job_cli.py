@@ -181,3 +181,58 @@ def test_certify_target_flag_validation():
             "--turns", "/t", "--out", "/o", "--certify-bp", "1000",
             "--certify-only", "--certify-target",
         ])
+
+
+def test_rules_spec_replaces_default_suite(spark, tmp_path):
+    """--rules-spec: the suite ships as JSON config; the run reports
+    exactly the spec's rules (and the certificate bounds the same
+    suite); unknown names fail at load with exit-raising ValueError."""
+    import json
+
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=1500), f"{base}/fx")
+    spec = [
+        {"rule": "not_null", "column": "text"},
+        {"rule": "in_vocabulary", "column": "role",
+         "terms": ["system", "user", "assistant", "tool"],
+         "rule_id": "vocab.role"},
+        {"rule": "in_range", "column": "turn_idx", "lo": 0, "hi": 100000},
+    ]
+    spec_path = f"{base}/suite.json"
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    argv = [
+        "--turns", f"{base}/fx/turns",
+        "--out", f"{base}/spec_report",
+        "--rules-spec", spec_path,
+        "--certify-bp", "10000",
+    ]
+    rc = run(spark, parse_args(argv))
+    assert rc == 1  # dirty fixture still fails under the custom suite
+    viol = spark.read.parquet(f"{base}/spec_report/violations")
+    row_rule_ids = {
+        r.rule_id
+        for r in viol.select("rule_id").distinct().collect()
+        if r.rule_id.split(".")[0] in ("not_null", "vocab", "in_range", "range")
+        or r.rule_id in ("not_null.text", "vocab.role")
+    }
+    # the default suite's non_empty/url rules must NOT appear
+    all_ids = {r.rule_id for r in viol.select("rule_id").distinct().collect()}
+    assert "non_empty.text" not in all_ids
+    assert "url_in_text.text" not in all_ids
+    assert "not_null.text" in all_ids
+    # the certificate covers exactly the spec's rules
+    cert = spark.read.parquet(f"{base}/spec_report/certificate")
+    cert_rules = {r.rule_id for r in cert.collect()}
+    assert cert_rules == {"not_null.text", "vocab.role", "range.turn_idx"}
+
+    # unknown rule name fails at load, before any Spark work
+    bad_path = f"{base}/bad.json"
+    with open(bad_path, "w") as fh:
+        json.dump([{"rule": "no_such_rule", "column": "x"}], fh)
+    import pytest
+    with pytest.raises(ValueError, match="no_such_rule"):
+        run(spark, parse_args([
+            "--turns", f"{base}/fx/turns", "--out", f"{base}/bad_report",
+            "--rules-spec", bad_path,
+        ]))
