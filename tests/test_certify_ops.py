@@ -266,3 +266,53 @@ def test_cert_by_part_hand_computed(spark):
     assert out["clean"].k_viol == 0 and out["clean"].certified == 1
     assert out["dirty"].k_viol == 30 and out["dirty"].certified == 0
     assert out["dirty"].viol_rate == 0.3
+
+
+# ------------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    convs=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=2),
+        st.lists(st.integers(0, 30), min_size=1, max_size=25),  # dups allowed
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_gap_intervals_property_vs_bruteforce(spark, convs):
+    # whatever (possibly duplicate-ridden) index multiset the strategy
+    # generates, the result equals the pure-Python islands replay over
+    # the DISTINCT sorted indexes
+    rows = [(cid, i) for cid, idxs in convs.items() for i in idxs]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = sorted(
+        (r.conv_id, r.gap_start, r.gap_end, int(r.gap_len))
+        for r in gap_intervals(t).collect()
+    )
+    want = []
+    for cid, idxs in convs.items():
+        prev = -1
+        for x in sorted(set(idxs)):
+            if x - prev > 1:
+                want.append((cid, prev + 1, x - 1, x - prev - 1))
+            prev = x
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 10_000),
+    k_frac=st.floats(0.0, 1.0),
+)
+def test_wilson_upper_property(spark, n, k_frac):
+    # bound matches the closed form, covers the point estimate, and
+    # stays in (0, 1]
+    k = min(n, int(n * k_frac))
+    df = spark.createDataFrame([(k, n)], "k int, n int")
+    u = df.select(wilson_upper(F.col("k"), F.col("n")).alias("u")).first().u
+    assert abs(u - _wilson_py(k, n)) < 1e-12
+    assert u >= k / n - 1e-12
+    assert 0.0 < u <= 1.0 + 1e-12
