@@ -117,13 +117,23 @@ def sampled_certification(
     per_rule = one.selectExpr(
         "__n", f"stack({len(flags)}, {stack_args}) AS (rule_id, k_viol)"
     )
+    # n=0 (empty table / sample rate too small to catch any row): rate
+    # and bound are undefined (NULL) and the rule is explicitly NOT
+    # certified — an empty sample attests nothing, and a NULL certified
+    # would read as "not certified" to some consumers and "unknown" to
+    # others. The when() guards also keep ANSI mode's divide-by-zero
+    # error out of the n=0 branch.
+    n = F.col("__n")
     return per_rule.select(
         "rule_id",
-        F.col("__n").alias("n_sample"),
+        n.alias("n_sample"),
         "k_viol",
-        F.round(F.col("k_viol") / F.col("__n"), 6).alias("viol_rate"),
-        F.round(wilson_upper(F.col("k_viol"), F.col("__n"), z), 6).alias("upper_bound"),
-        (wilson_upper(F.col("k_viol"), F.col("__n"), z) <= tol)
+        F.when(n > 0, F.round(F.col("k_viol") / n, 6)).alias("viol_rate"),
+        F.when(
+            n > 0, F.round(wilson_upper(F.col("k_viol"), n, z), 6)
+        ).alias("upper_bound"),
+        F.when(n > 0, wilson_upper(F.col("k_viol"), n, z) <= tol)
+        .otherwise(F.lit(False))
         .cast("int")
         .alias("certified"),
     )

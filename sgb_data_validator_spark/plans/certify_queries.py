@@ -196,8 +196,9 @@ wils AS (
   FROM unp
 )
 SELECT rule_id, n AS n_sample, k AS k_viol,
-       round(p, 6) AS viol_rate, round(upper, 6) AS upper_bound,
-       cast(upper <= {CERT_TOL} AS int) AS certified
+       CASE WHEN n > 0 THEN round(p, 6) END AS viol_rate,
+       CASE WHEN n > 0 THEN round(upper, 6) END AS upper_bound,
+       CASE WHEN n > 0 THEN cast(upper <= {CERT_TOL} AS int) ELSE 0 END AS certified
 FROM wils
 """
 

@@ -316,3 +316,16 @@ def test_wilson_upper_property(spark, n, k_frac):
     assert abs(u - _wilson_py(k, n)) < 1e-12
     assert u >= k / n - 1e-12
     assert 0.0 < u <= 1.0 + 1e-12
+
+
+def test_sampled_certification_empty_sample_not_certified(spark):
+    # an empty sample attests nothing: certified must be an explicit 0,
+    # never NULL (a NULL reads as "not certified" to some consumers and
+    # "unknown" to others)
+    df = spark.createDataFrame([], "id bigint, bad boolean")
+    out = sampled_certification(
+        df, [("r", F.col("bad"))], F.col("id").cast("string"),
+        rate_bp=10_000, tol=0.99,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_sample == 0 and out[0].certified == 0
