@@ -149,11 +149,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "(<out>/certificate_by_part) and run the full validation only on "
         "partitions whose certificate fails the SLO — a clean delivery "
         "pays BP/10000 of a scan, a delivery with one bad day pays that "
-        "plus one day's full validation; partition-scoped semantics match "
-        "--parts/--resume, and a partition too small for its sample to "
-        "attest the SLO (Wilson floor > tol at k=0) escalates to the full "
-        "scan rather than passing silently (requires --certify-bp; "
-        "mutually exclusive with --certify-only)",
+        "plus one day's full validation. SCOPE: the certificate attests "
+        "the ROW-RULE family only; uniqueness/referential/sequence/"
+        "conv-level checks run only on escalated partitions. Partitions "
+        "whose sample cannot attest the SLO (Wilson floor > tol at k=0) "
+        "or that the sample never touched escalate to the full scan "
+        "rather than passing silently. Certified partitions are NOT "
+        "recorded in the ledger — a certificate is not a validation, so "
+        "--resume re-certifies them at sample cost on later runs "
+        "(requires --certify-bp; mutually exclusive with --certify-only)",
     )
     p.add_argument(
         "--streaming",
@@ -310,16 +314,32 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
     if args.certify_bp is not None:
+        from sgb_data_validator_spark.operators import rules as R
         from sgb_data_validator_spark.operators.certify import (
             sampled_certification,
             sampled_certification_by_part,
         )
         from sgb_data_validator_spark.plans.pipeline import transcript_row_rules
 
-        # the certificate must bound exactly the rates the full run
-        # would report, so a loaded suite replaces the default family
-        # here too
+        # the certificate must bound exactly the row-rule rates the full
+        # run would report: a loaded suite replaces the default family,
+        # and the partition-consistency opt-in extends it the same way
+        # compute_violations does
         cert_rules = suite_rules or transcript_row_rules()
+        if args.partition_consistency:
+            cert_rules = R.RowRuleSet(list(cert_rules.rules)).add(
+                R.partition_matches_ts()
+            )
+        # scope disclosure: the certificate attests the ROW-RULE family
+        # only. Uniqueness, referential, sequence, and conv-level checks
+        # are not row-local and are NOT bounded by it — with
+        # --certify-target they run only on the escalated partitions.
+        print(
+            "certify: certificate covers the row-rule family "
+            f"({len(cert_rules.rules)} rules); uniqueness/referential/"
+            "sequence/conv-level checks are NOT attested by it",
+            file=sys.stderr,
+        )
         cert_key = F.concat_ws(
             ":", F.col("conv_id"), F.col("turn_idx").cast("string")
         )
@@ -330,21 +350,43 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
                 cert_key,
                 rate_bp=args.certify_bp,
                 tol=args.certify_tol,
-            ).orderBy("part", "rule_id")
-            cert.write.mode("overwrite").parquet(f"{args.out}/certificate_by_part")
-            cert_rows = cert.collect()  # O(parts × rules) rows
-            suspect = sorted({r.part for r in cert_rows if not r.certified})
-            certified_parts = sorted(
-                {r.part for r in cert_rows} - set(suspect)
             )
-            for part in certified_parts:
+            cert_rows = cert.collect()  # O(parts × rules) — ONE execution
+            cert_rows.sort(key=lambda r: (str(r.part), r.rule_id))
+            # write the artifact from the collected rows, not by
+            # re-executing the sampled scan
+            spark.createDataFrame(cert_rows, cert.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/certificate_by_part")
+            suspect = {r.part for r in cert_rows if not r.certified}
+            attested = {r.part for r in cert_rows} - suspect
+            # escalate partitions the sample never touched (too small
+            # for the rate, or NULL-keyed): absence of evidence is not
+            # a certificate. all_parts is one cheap single-column
+            # distinct over the already-pruned scan.
+            all_parts = {
+                r.part for r in turns.select("part").distinct().collect()
+            }
+            unattested = all_parts - attested - suspect
+            for part in sorted(attested, key=str):
                 print(f"certify\t{part}\tCERTIFIED (skipping full validation)")
-            for part in suspect:
+            for part in sorted(suspect, key=str):
                 print(f"certify\t{part}\tNOT-CERTIFIED -> full validation")
-            if not suspect:
-                print("all partitions certified — nothing to validate fully")
+            for part in sorted(unattested, key=str):
+                print(f"certify\t{part}\tNO SAMPLE -> full validation")
+            escalate = suspect | unattested
+            if not escalate:
+                print(
+                    "all partitions certified (row-rule family at "
+                    f"tol={args.certify_tol}) — full validation skipped; "
+                    "certified partitions are NOT recorded in the ledger "
+                    "(a certificate is not a validation)"
+                )
                 return 0
-            turns = turns.where(F.col("part").isin(suspect))
+            keep = F.col("part").isin([p for p in escalate if p is not None])
+            if any(p is None for p in escalate):
+                keep = keep | F.col("part").isNull()
+            turns = turns.where(keep)
             t = TranscriptTables(
                 turns=turns,
                 conversations=t.conversations,
@@ -358,9 +400,11 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
                 cert_key,
                 rate_bp=args.certify_bp,
                 tol=args.certify_tol,
-            ).orderBy("rule_id")
-            cert.write.mode("overwrite").parquet(f"{args.out}/certificate")
-            cert_rows = cert.collect()  # O(rules) rows
+            )
+            cert_rows = sorted(cert.collect(), key=lambda r: r.rule_id)
+            spark.createDataFrame(cert_rows, cert.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/certificate")
             for row in cert_rows:
                 print(
                     f"certify\t{row.rule_id}\tn={row.n_sample}\tk={row.k_viol}\t"

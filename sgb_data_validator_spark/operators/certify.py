@@ -62,6 +62,18 @@ def sample_predicate(key: Column, rate_bp: int) -> Column:
     return (h % SAMPLE_MOD) < rate_bp
 
 
+def _stack_expr(flags: Sequence[tuple[str, Column]]) -> str:
+    """stack() unpivot expression over the per-rule sum slots. rule_ids
+    are spliced as SQL string literals, so embedded single quotes are
+    doubled — a rule_id is user data (reachable verbatim from a
+    --rules-spec JSON file), never expression syntax."""
+    args = ", ".join(
+        "'{}', __k{}".format(rule_id.replace("'", "''"), i)
+        for i, (rule_id, _) in enumerate(flags)
+    )
+    return f"stack({len(flags)}, {args})"
+
+
 def wilson_upper(k: Column, n: Column, z: float = WILSON_Z) -> Column:
     """Upper limit of the Wilson score interval for a binomial
     proportion (Wilson, JASA 1927) — the standard survey-sampling
@@ -111,11 +123,8 @@ def sampled_certification(
             F.sum(F.coalesce(flag.cast("int"), F.lit(0))).cast("bigint").alias(f"__k{i}")
         )
     one = sampled.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{rule_id}', __k{i}" for i, (rule_id, _) in enumerate(flags)
-    )
     per_rule = one.selectExpr(
-        "__n", f"stack({len(flags)}, {stack_args}) AS (rule_id, k_viol)"
+        "__n", _stack_expr(flags) + " AS (rule_id, k_viol)"
     )
     # n=0 (empty table / sample rate too small to catch any row): rate
     # and bound are undefined (NULL) and the rule is explicitly NOT
@@ -169,11 +178,8 @@ def sampled_certification_by_part(
             F.sum(F.coalesce(flag.cast("int"), F.lit(0))).cast("bigint").alias(f"__k{i}")
         )
     per_part = sampled.groupBy(F.col(part_col).alias("part")).agg(*aggs)
-    stack_args = ", ".join(
-        f"'{rule_id}', __k{i}" for i, (rule_id, _) in enumerate(flags)
-    )
     per_rule = per_part.selectExpr(
-        "part", "__n", f"stack({len(flags)}, {stack_args}) AS (rule_id, k_viol)"
+        "part", "__n", _stack_expr(flags) + " AS (rule_id, k_viol)"
     )
     return per_rule.select(
         "part",

@@ -7,11 +7,13 @@ SQL) pairs, every computed column aliased identically on both sides,
 counts cast bigint, floats rounded 6 dp, timestamps carried as unix
 microseconds (integer — engine-portable by construction).
 
-Transcript-shaped inputs route through monitor_queries' canonical
-events→turns projection (ONE definition of the ordering) and reuse
-transform_queries' portable dirt-injection conventions (user_id % 97
-⇒ stray 'shell' tool; 'error' event_type ⇒ vocab violation) so the
-certificates have real nonzero violation mass to bound.
+Transcript-shaped inputs route through the shared canonical
+events→turns projections — monitor_queries._turns for plain turns
+(q_turn_gaps) and transform_queries.turns_with_tool_dirt for the
+tool-dirt-bearing form (q_cert_sample shares q_transcript_pipeline's
+exact projection, so the certificate bounds the same rows the full
+pipeline validates) — ONE definition of the ordering and the dirt
+mapping per shape, so a change lands in every consumer at once.
 """
 
 from __future__ import annotations
@@ -120,23 +122,12 @@ def q_cert_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE global aggregation + an O(rules) unpivot — the 100 TB answer to
     "is this delivery obviously bad?" before paying for the full
     validate()."""
-    from pyspark.sql import Window
-
     from sgb_data_validator_spark.operators.certify import sampled_certification
+    from sgb_data_validator_spark.plans.transform_queries import (
+        turns_with_tool_dirt,
+    )
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
-    )
-    turns = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("props").alias("text"),
-        F.when(F.col("event_type") == "click", F.lit("browser"))
-        .when(F.col("user_id") % 97 == 0, F.lit("shell"))
-        .alias("tool"),
-    )
+    turns = turns_with_tool_dirt(_t(spark, sf_dir, "events"))
     parse_ok = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     url_pat = r"(?i)(?:https?://|ftp://|www\.)[^\s]+"
     flags = [

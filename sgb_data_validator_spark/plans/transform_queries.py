@@ -90,6 +90,28 @@ EVENT_TYPES = ["click", "view", "purchase", "signup"]
 GHOST_CONV = "u_ghost"
 
 
+def turns_with_tool_dirt(ev: DataFrame) -> DataFrame:
+    """The canonical events→transcript projection WITH the portable
+    tool-dirt mapping — ONE definition shared by q_transcript_pipeline
+    and certify_queries.q_cert_sample (and mirrored verbatim by their
+    SQL twins): conv per user, dense turn_idx by (ts, event_id), role =
+    event_type, text = props, tool = 'browser' on click turns / stray
+    'shell' on every 97th user's non-click turns (fires BOTH ref.tool
+    and tool.role_consistency), part = day of ts. A change to the
+    ordering or the dirt mapping lands in every consumer at once."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browser"))
+        .when(F.col("user_id") % 97 == 0, F.lit("shell"))
+        .alias("tool"),
+        "ts",
+    ).withColumn("part", F.date_format("ts", "yyyy-MM-dd"))
+
+
 def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine over a transcript projection of events:
     row rules (incl. the fused tool⇔role rule) + uniqueness +
@@ -106,17 +128,7 @@ def q_transcript_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sgb_data_validator_spark.plans.pipeline import TranscriptTables, compute_violations
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    turns = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.col("event_type").alias("role"),
-        F.col("props").alias("text"),
-        F.when(F.col("event_type") == "click", F.lit("browser"))
-        .when(F.col("user_id") % 97 == 0, F.lit("shell"))
-        .alias("tool"),
-        "ts",
-    ).withColumn("part", F.date_format("ts", "yyyy-MM-dd"))
+    turns = turns_with_tool_dirt(ev)
     convs = (
         ev.select("user_id").distinct()
         .where(F.col("user_id") % 7 != 0)

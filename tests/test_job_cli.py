@@ -236,3 +236,57 @@ def test_rules_spec_replaces_default_suite(spark, tmp_path):
             "--turns", f"{base}/fx/turns", "--out", f"{base}/bad_report",
             "--rules-spec", bad_path,
         ]))
+
+
+def test_certify_target_unattested_partitions_escalate(spark, tmp_path):
+    """A sample rate too small to touch a partition must escalate it to
+    the full validation (absence of evidence is not a certificate)."""
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=1500), f"{base}/fx")
+    argv = [
+        "--turns", f"{base}/fx/turns",
+        "--out", f"{base}/tiny_report",
+        "--certify-bp", "1",  # ~0.01%: most partitions get no sample
+        "--certify-target",
+    ]
+    rc = run(spark, parse_args(argv))
+    assert rc == 1  # dirt still caught — escalated partitions validated
+    turns = spark.read.parquet(f"{base}/fx/turns")
+    all_parts = {str(r.part) for r in turns.select("part").distinct().collect()}
+    cert = spark.read.parquet(f"{base}/tiny_report/certificate_by_part")
+    by_part = {}
+    for r in cert.collect():
+        by_part.setdefault(str(r.part), []).append(r.certified)
+    certified = {p for p, cs in by_part.items() if all(cs)}
+    validated = {
+        str(r.part)
+        for r in spark.read.parquet(f"{base}/tiny_report/verdicts").collect()
+    }
+    # every partition is either certificate-attested or fully validated
+    assert certified | validated == all_parts
+
+
+def test_certify_with_quoted_rule_id_and_partition_consistency(spark, tmp_path):
+    """A rule_id containing a single quote (user data from --rules-spec)
+    must not break the certificate's unpivot, and --partition-consistency
+    must extend the certified family the same way the full run extends
+    its rules."""
+    import json
+
+    base = str(tmp_path)
+    write_fixture_tables(spark, FixtureConfig(n_turns=1500), f"{base}/fx")
+    spec = [{"rule": "not_null", "column": "text", "rule_id": "ops' check"}]
+    with open(f"{base}/suite.json", "w") as fh:
+        json.dump(spec, fh)
+    rc = run(spark, parse_args([
+        "--turns", f"{base}/fx/turns",
+        "--out", f"{base}/q_report",
+        "--rules-spec", f"{base}/suite.json",
+        "--certify-bp", "10000",
+        "--partition-consistency",
+    ]))
+    assert rc in (0, 1)
+    cert = spark.read.parquet(f"{base}/q_report/certificate")
+    rules = {r.rule_id for r in cert.collect()}
+    assert "ops' check" in rules           # quote survived as data
+    assert "part.ts_mismatch" in rules     # opt-in rule certified too
