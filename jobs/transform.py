@@ -140,12 +140,12 @@ def run(spark: SparkSession, args: argparse.Namespace) -> int:
         # one full-scan action, no write: count() drains the observation
         cleaned.agg(F.count(F.lit(1))).collect()
     else:
-        writer = cleaned.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        )
-        if "part" in cleaned.columns:
-            writer = writer.partitionBy("part")
-        writer.parquet(args.out)
+        # table-format-aware: a catalog-table input round-trips to a
+        # catalog-table output (same resolution as read_table) instead
+        # of silently writing the table NAME as a parquet path literal
+        from sgb_data_validator_spark.sources.catalog import write_table
+
+        write_table(cleaned, args.out, args.table_format)
     elapsed = time.perf_counter() - t0
 
     got = obs.get  # blocks until the action above has published metrics

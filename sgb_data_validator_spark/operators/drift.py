@@ -192,7 +192,11 @@ def wasserstein(
 ) -> DataFrame:
     """(part, dim, w1) — first Wasserstein (earth-mover) distance between
     the per-partition histogram over ORDERED integer buckets and the
-    baseline, with unit bucket width: W1 = Σ_h |CDF_p(h) − CDF_q(h)|.
+    baseline, with unit bucket width:
+    W1 = Σ_h |CDF_p(h) − CDF_q(h)| · (next_h − h) — each CDF gap
+    weighted by the run of integer buckets it persists across, so
+    buckets absent from BOTH sides still contribute their displacement
+    (all mass at 0 vs all mass at 5 is W1 = 5 even with 1..4 empty).
 
     Completes the drift family's ordered-axis pair: KS reports the single
     worst CDF gap (max), W1 reports the total transported mass × distance
@@ -216,14 +220,26 @@ def wasserstein(
         .withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
     )
     w = Window.partitionBy("part").orderBy(F.col("value").cast("int"))
+    # each |ΔCDF| persists until the NEXT present bucket, so weight it
+    # by that gap — summing only over present buckets would under-count
+    # displacement across integer buckets absent from BOTH sides (all
+    # mass at 0 vs all mass at 5 with 1..4 empty is W1=5, not 1). The
+    # last bucket's ΔCDF is ~0 (both CDFs reach 1); its weight defaults
+    # to 1 so float residue contributes at most one unit of itself.
     cum = joined.select(
         "part",
+        F.col("value").cast("int").alias("_b"),
         F.sum("p").over(w).alias("cp"),
         F.sum("q").over(w).alias("cq"),
     )
+    w_b = Window.partitionBy("part").orderBy("_b")
+    cum = cum.withColumn(
+        "_gap",
+        F.coalesce(F.lead("_b").over(w_b) - F.col("_b"), F.lit(1)).cast("double"),
+    )
     return (
         cum.groupBy("part")
-        .agg(F.sum(F.abs(F.col("cp") - F.col("cq"))).alias("w1"))
+        .agg(F.sum(F.abs(F.col("cp") - F.col("cq")) * F.col("_gap")).alias("w1"))
         .select("part", F.lit(dim).alias("dim"), "w1")
     )
 
@@ -291,12 +307,25 @@ def novel_entities(
     combine map-side), then groupBy(part) twice on shrinking frames
     (actives from an entity×part distinct, novels from the first-seen
     frame) joined on the O(parts) result. The fact is scanned once."""
+    # first-seen is min over the RAW partition value (native type
+    # ordering), cast to string only afterwards — a lexicographic min
+    # over the cast would misorder numeric partition keys ('10' < '9').
+    # ISO date strings order identically either way.
+    raw_part = F.col(part_col) if isinstance(part_col, str) else part_col
     slim = df.select(
-        F.col(part_col).cast("string").alias("part") if isinstance(part_col, str) else part_col.cast("string").alias("part"),
+        raw_part.alias("_rawpart"),
         F.col(entity_col).alias("entity") if isinstance(entity_col, str) else entity_col.alias("entity"),
     ).where(F.col("entity").isNotNull())
-    per_entity_part = slim.groupBy("entity", "part").agg(F.count(F.lit(1)).alias("_n"))
-    first_seen = per_entity_part.groupBy("entity").agg(F.min("part").alias("part"))
+    per_entity_part = (
+        slim.groupBy("entity", "_rawpart")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("part", F.col("_rawpart").cast("string"))
+    )
+    first_seen = (
+        per_entity_part.groupBy("entity")
+        .agg(F.min("_rawpart").alias("_rawpart"))
+        .withColumn("part", F.col("_rawpart").cast("string"))
+    )
     active = per_entity_part.groupBy("part").agg(
         F.count(F.lit(1)).alias("active")
     )

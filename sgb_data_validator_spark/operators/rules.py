@@ -350,6 +350,19 @@ def rules_from_spec(spec: Sequence[dict]) -> "RowRuleSet":
                 f"unknown rule {name!r}; known: {sorted(RULE_CONSTRUCTORS)}"
             )
         rs.add(ctor(**kwargs))
+    # rule_ids identify rules in every report (violations, pass_rates,
+    # certificates) — a duplicate makes those reports ambiguous, and
+    # it is almost always two same-column constraints that each need an
+    # explicit rule_id. Fail at suite load, not mid-report.
+    seen: dict[str, int] = {}
+    for r in rs.rules:
+        seen[r.rule_id] = seen.get(r.rule_id, 0) + 1
+    dups = sorted(k for k, c in seen.items() if c > 1)
+    if dups:
+        raise ValueError(
+            f"duplicate rule_id(s) in suite spec: {dups}; give each rule "
+            "an explicit distinct 'rule_id'"
+        )
     return rs
 
 
@@ -468,14 +481,22 @@ class RowRuleSet:
                 .alias(f"__f_{i}")
             )
         one = df.agg(*aggs)
-        pairs = F.map_from_arrays(
-            F.array(*[F.lit(r.rule_id) for r in self.rules]),
-            F.array(*[F.col(f"__f_{i}") for i in range(len(self.rules))]),
+        # positional struct array, NOT map_from_arrays: two rules may
+        # legally share a rule_id (violations() accepts that), and a map
+        # key collision would throw DUPLICATED_MAP_KEY at runtime
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.col(f"__f_{i}").alias("failures"),
+                )
+                for i, r in enumerate(self.rules)
+            ]
         )
         exploded = one.select(
             F.col("__n").cast("bigint").alias("n"),
-            F.explode(pairs).alias("rule_id", "failures"),
-        )
+            F.explode(entries).alias("_e"),
+        ).select("n", F.col("_e.rule_id").alias("rule_id"), F.col("_e.failures").alias("failures"))
         rate = F.when(F.col("n") > 0, 1.0 - F.col("failures") / F.col("n")).otherwise(
             F.lit(1.0)
         )

@@ -375,6 +375,8 @@ def kmeans_train_fixed(
     projection is cached once and re-read per round; localCheckpoint
     cuts lineage so the plan stays flat; the returned frame is
     checkpointed, so unpersisting the cache is safe."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     fact = df.select(F.col(id_col), F.col(vec_col)).persist()
     try:
         cur = centroids.select("cid", "cv", "cn").localCheckpoint()

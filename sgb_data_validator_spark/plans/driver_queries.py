@@ -430,6 +430,13 @@ def _all_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = _REPORT_VIEW_PREFIX + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     if not spark.catalog.tableExists(name):
+        # single-entry semantics: registering a new sf_dir evicts other
+        # report views, so a session that benchmarks several sf_dirs
+        # doesn't accumulate one persisted frame per dir in executor
+        # storage (each is rebuilt on return — cheap, violations-sized)
+        for view in spark.catalog.listTables():
+            if view.name.startswith(_REPORT_VIEW_PREFIX):
+                spark.catalog.dropTempView(view.name)
         v = (
             q_row_rules(spark, sf_dir)
             .unionByName(q_unique(spark, sf_dir))

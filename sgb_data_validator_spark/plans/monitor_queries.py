@@ -136,12 +136,16 @@ WITH q AS (
          coalesce(p.p, 0.0) AS p, coalesce(g.q, 0.0) AS q
   FROM grid g FULL JOIN p ON g.part = p.part AND g.value = p.value
 ), c AS (
-  SELECT part,
+  SELECT part, cast(value AS int) AS b,
          sum(p) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cp,
          sum(q) OVER (PARTITION BY part ORDER BY cast(value AS int)) AS cq
   FROM j
+), g2 AS (
+  SELECT part, cp, cq,
+         cast(coalesce(lead(b) OVER (PARTITION BY part ORDER BY b) - b, 1) AS double) AS gap
+  FROM c
 )
-SELECT part, round(sum(abs(cp - cq)), 6) AS w1 FROM c GROUP BY part
+SELECT part, round(sum(abs(cp - cq) * gap), 6) AS w1 FROM g2 GROUP BY part
 """
 
 
@@ -349,7 +353,11 @@ def q_violation_uchart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     vocab_bad = (~F.col("event_type").isin(*EVENT_TYPES)).cast("int")
-    neg_bad = (F.col("value") < 0).cast("int")
+    # NULL value must contribute 0 to neg_bad, not poison the row's sum:
+    # without the coalesce a NULL-value 'error' row would lose its vocab
+    # defect too (NULL + 1 = NULL, skipped by sum) — diverging from the
+    # SQL twin's CASE ... ELSE 0
+    neg_bad = F.coalesce((F.col("value") < 0).cast("int"), F.lit(0))
     per = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("part")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vocab_bad + neg_bad).alias("defects"),

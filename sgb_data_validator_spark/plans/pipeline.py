@@ -154,7 +154,14 @@ def compute_violations(
                     F.lit("n_turns_expected").alias("column"),
                     F.concat(
                         F.lit("expected "),
-                        F.col("stated").cast("bigint").cast("string"),
+                        # a NULL stated expectation is the 'unverifiable'
+                        # finding manifest_reconcile surfaces — render it
+                        # as the literal string so concat can't blank the
+                        # whole message
+                        F.coalesce(
+                            F.col("stated").cast("bigint").cast("string"),
+                            F.lit("NULL"),
+                        ),
                         F.lit(", got "),
                         F.col("computed").cast("bigint").cast("string"),
                     ).alias("offending_value"),

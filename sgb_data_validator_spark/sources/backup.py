@@ -46,7 +46,11 @@ def _checksum_expr(df: DataFrame):
     cols = [
         f.name
         for f in df.schema.fields
-        if not f.dataType.simpleString().startswith(_NO_CHECKSUM_TYPES)
+        # a float type ANYWHERE in the column (array<double>, nested
+        # struct/map fields) disqualifies it — JSON float round-trips
+        # aren't bit-stable at any nesting depth, and a nested double
+        # slipping into the hash would flag healthy restores MISMATCH
+        if not any(t in f.dataType.simpleString() for t in _NO_CHECKSUM_TYPES)
     ]
     if not cols:
         return None, []

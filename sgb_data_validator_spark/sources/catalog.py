@@ -54,3 +54,49 @@ def read_table(spark: SparkSession, ref: str, fmt: str | None = None) -> DataFra
     if "/" in ref or os.path.exists(ref):
         return spark.read.parquet(ref)
     return spark.table(ref)
+
+
+def write_table(
+    df: DataFrame,
+    ref: str,
+    fmt: str | None = None,
+    partition_col: str | None = "part",
+) -> None:
+    """Write ``df`` to ``ref`` with the SAME resolution rules as
+    :func:`read_table`, so a job that reads a catalog table writes a
+    catalog table (the transform→validate round-trip keeps working for
+    non-path targets instead of silently downgrading a table name to a
+    parquet path literal). Day-partition dynamic overwrite everywhere:
+    only the partitions present in ``df`` are replaced.
+
+    * path (or fmt="parquet") → dynamic-overwrite partitioned parquet,
+    * dotted name (or fmt="table") → ``saveAsTable`` with the same
+      dynamic overwrite (the session catalog; with an Iceberg catalog
+      configured this is the V2 path),
+    * fmt="iceberg" → ``writeTo(ref).overwritePartitions()``, failing
+      with the same actionable message as the reader when the runtime
+      lacks the plugin.
+    """
+    part = partition_col if partition_col and partition_col in df.columns else None
+    if fmt == "iceberg":
+        try:
+            writer = df.writeTo(ref)
+            writer.overwritePartitions()
+            return
+        except Exception as exc:  # plugin absent or catalog unconfigured
+            raise RuntimeError(
+                "Iceberg write failed — the runtime needs the "
+                "iceberg-spark-runtime jar on the classpath and a "
+                "spark.sql.catalog.* entry. "
+                f"Underlying error: {exc}"
+            ) from exc
+    as_table = fmt == "table" or (
+        fmt is None and "/" not in ref and not os.path.exists(ref)
+    )
+    writer = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if part:
+        writer = writer.partitionBy(part)
+    if as_table:
+        writer.saveAsTable(ref)
+    else:
+        writer.parquet(ref)
